@@ -1,0 +1,97 @@
+"""Benchmark: end-to-end basecalling throughput on the TPU chip.
+
+Workload: the bundled 5-read fast5 replicated to a 40-read batch, global
+decode with 12-mer LM fusion (synthetic LM, deterministic seed — the
+reference's published LM blob is stripped from the snapshot), seed-0
+weights shared with the measured reference baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the speedup over the reference python pipeline measured on
+this machine's CPU (bench_data/baseline.json; regenerate with
+bench_baseline.py).
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path("bench_data/.jax_cache").absolute()))
+
+REPLICAS = 8  # 5 reads x 8 = 40 reads per timed run
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from radian_tpu.io import iter_fast5_reads
+    from radian_tpu.lm import build_dense_tables, random_kmer_model
+    from radian_tpu.models import build_model, init_params
+    from radian_tpu.pipeline import Basecaller, BasecallOptions
+
+    log(f"devices: {jax.devices()}")
+    reads = sorted(
+        iter_fast5_reads("/root/reference/radian/data/reads.fast5"),
+        key=lambda r: r.read_id,
+    )
+    signals = [r.signal for r in reads] * REPLICAS
+    n_samples = sum(len(s) for s in signals)
+
+    model = build_model()
+    params = init_params(model, jax.random.PRNGKey(0))
+    lm_rng = np.random.default_rng(42)
+    lm = build_dense_tables(
+        random_kmer_model(lm_rng, context_len=11, n_contexts=200_000,
+                          concentration=0.2),
+        11,
+    )
+    bc = Basecaller(
+        params,
+        lm=lm,
+        options=BasecallOptions(read_batch=8),
+    )
+
+    # warmup: compile each bucket program
+    log("warmup (compiling bucket programs)...")
+    t0 = time.perf_counter()
+    warm = bc.basecall_signals([r.signal for r in reads])
+    log(f"warmup done in {time.perf_counter() - t0:.1f}s; "
+        f"seq lens {[len(s) if s else 0 for s in warm]}")
+
+    log(f"timed run: {len(signals)} reads, {n_samples} samples")
+    t0 = time.perf_counter()
+    seqs = bc.basecall_signals(signals)
+    dt = time.perf_counter() - t0
+    assert all(s is not None for s in seqs)
+    reads_per_s = len(signals) / dt
+    samples_per_s = n_samples / dt
+    log(f"{dt:.2f}s -> {reads_per_s:.2f} reads/s, "
+        f"{samples_per_s / 1e6:.2f} Msamples/s")
+
+    baseline_path = Path("bench_data/baseline.json")
+    vs = None
+    if baseline_path.exists():
+        base = json.loads(baseline_path.read_text())
+        vs = reads_per_s / base["reads_per_s"]
+        log(f"baseline {base['reads_per_s']:.3f} reads/s -> {vs:.1f}x")
+
+    print(json.dumps({
+        "metric": "basecall_throughput_global_lm",
+        "value": round(reads_per_s, 3),
+        "unit": "reads/s/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Basecall CLI — drop-in replacement for the reference driver.
+
+Flags mirror reference radian/basecall.py:19-37 (same names, same
+defaults) plus TPU-specific extensions (read batching, assembly mode,
+compute dtype, multi-host sharding).
+
+Usage:
+    python -m radian_tpu.cli.basecall FAST5_DIR FASTA_DIR [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Basecall a nanopore dRNA sequencing run on TPU."
+    )
+    p.add_argument("fast5_dir", help="Directory of single/multi fast5 files.")
+    p.add_argument("fasta_dir", help="Directory to output fasta files.")
+    p.add_argument("--chunk-len", default=1024, type=int)
+    p.add_argument("--step-size", default=128, type=int)
+    p.add_argument("--batch-size", default=32, type=int,
+                   help="(accepted for reference compat; superseded by "
+                        "--read-batch bucketing)")
+    p.add_argument("--outlier-clip", default=4, type=float)
+    p.add_argument("--rna-model", default="None",
+                   help="12-mer LM json path, or 'None' to disable fusion")
+    p.add_argument("--sig-model", default=None,
+                   help="checkpoint: .npz (native), .h5 (keras import), "
+                        "or omit for seeded init")
+    p.add_argument("--sig-config", default=None, help="model config yaml")
+    p.add_argument("--beam-width", default=6, type=int)
+    p.add_argument("--decode-type", choices=["global", "chunk"],
+                   default="global")
+    p.add_argument("--sig-threshold", default=0.5, type=float)
+    p.add_argument("--rna-threshold", default=0.5, type=float)
+    p.add_argument("--context-len", default=11, type=int)
+    # TPU extensions
+    p.add_argument("--read-batch", default=8, type=int,
+                   help="reads decoded concurrently per bucket")
+    p.add_argument("--assembly-mode", choices=["first", "mean"],
+                   default="first",
+                   help="'first' replicates the reference's first-window "
+                        "stitch; 'mean' is a corrected true average")
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                   default="float32")
+    p.add_argument("--seed", default=0, type=int,
+                   help="init seed when no --sig-model is given")
+    p.add_argument("--shard-reads", action="store_true",
+                   help="multi-host: each host basecalls its share of reads")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from radian_tpu.pipeline import BasecallOptions, load_basecaller
+
+    options = BasecallOptions(
+        chunk_len=args.chunk_len,
+        step_size=args.step_size,
+        outlier_clip=args.outlier_clip,
+        beam_width=args.beam_width,
+        decode_type=args.decode_type,
+        sig_threshold=args.sig_threshold,
+        rna_threshold=args.rna_threshold,
+        context_len=args.context_len,
+        assembly_mode=args.assembly_mode,
+        read_batch=args.read_batch,
+    )
+    bc = load_basecaller(
+        checkpoint=args.sig_model,
+        config_path=args.sig_config,
+        rna_model=args.rna_model,
+        options=options,
+        seed=args.seed,
+        compute_dtype=(
+            jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+        ),
+    )
+    if args.shard_reads:
+        from radian_tpu.parallel.distributed import basecall_sharded
+
+        basecall_sharded(bc, args.fast5_dir, args.fasta_dir)
+    else:
+        bc.basecall_directory(args.fast5_dir, args.fasta_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,295 @@
+"""End-to-end basecalling pipeline.
+
+Replaces the reference driver loop (reference radian/basecall.py:64-141)
+with a TPU-resident pipeline: reads are grouped into length buckets and
+batched, and one jitted program per bucket runs
+
+  device: MAD-normalise → window → sig2seq model → (global) matrix
+          assembly → full-read CTC+LM beam search
+  host:   fast5 ingest, bucketing, (chunk mode) fragment consensus,
+          fasta output
+
+so the only per-read host↔device traffic is the raw signal in and the
+backtraced label string out.  Decode semantics (global vs chunk, LM
+gating, fasta orientation, 1000-reads-per-file rollover, skip-read on
+bad signal) match the reference driver exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from pathlib import Path
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radian_tpu.config import DotDict, default_config
+from radian_tpu.io.fast5 import Fast5Read, iter_fast5_dir
+from radian_tpu.io.fasta import FastaWriter
+from radian_tpu.lm.kmer import KmerLM, load_kmer_json
+from radian_tpu.models.checkpoint import load_params_npz
+from radian_tpu.models.sig2seq import SigToSeq, build_model, init_params
+from radian_tpu.ops.assembly import assemble_matrices
+from radian_tpu.ops.beam_search import beam_search_batch, labels_to_seq
+from radian_tpu.ops.consensus import assemble_fragments
+from radian_tpu.ops.preprocess import (
+    bucket_length,
+    max_windows_for,
+    preprocess_read,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class BasecallOptions:
+    """Decode options (defaults = reference basecall.py:19-37 CLI defaults)."""
+
+    chunk_len: int = 1024
+    step_size: int = 128
+    outlier_clip: float = 4.0
+    beam_width: int = 6
+    decode_type: str = "global"  # 'global' | 'chunk'
+    sig_threshold: float = 0.5
+    rna_threshold: float = 0.5
+    context_len: int = 11
+    assembly_mode: str = "first"  # reference parity; 'mean' = corrected
+    read_batch: int = 8  # reads decoded concurrently (global mode)
+    bucket_quantum: int = 4096
+    reads_per_fasta: int = 1000
+
+
+def _prep_and_model(
+    params, signals, lengths, *, model: SigToSeq, opts: BasecallOptions,
+    max_windows: int,
+):
+    """[N, L] padded signals → per-window probs [N, max_w, chunk, 5]."""
+
+    def one(sig, n):
+        return preprocess_read(
+            sig, n, opts.chunk_len, opts.step_size, max_windows,
+            opts.outlier_clip,
+        )
+
+    windows, n_wins, pad_ends, mads = jax.vmap(one)(signals, lengths)
+    n, w, t = windows.shape
+    probs = model.apply(
+        {"params": params}, windows.reshape(n * w, t, 1), probs=True
+    ).reshape(n, w, t, -1)
+    return probs, n_wins, pad_ends, mads
+
+
+def _assemble_and_decode(
+    probs, n_wins, pad_ends, lm_probs, lm_ent,
+    *, opts: BasecallOptions, out_len: int, lm_enabled: bool,
+):
+    def one(p, nw, pe):
+        return assemble_matrices(
+            p, nw, pe, step=opts.step_size, window=opts.chunk_len,
+            out_len=out_len, mode=opts.assembly_mode,
+        )
+
+    mats, t_reads = jax.vmap(one)(probs, n_wins, pad_ends)
+    rev, n_lab, _ = beam_search_batch(
+        mats,
+        t_reads,
+        beam_width=opts.beam_width,
+        lm_probs=lm_probs,
+        lm_ent=lm_ent,
+        s_threshold=opts.sig_threshold,
+        r_threshold=opts.rna_threshold,
+        ctx_len=opts.context_len,
+        lm_enabled=lm_enabled,
+    )
+    return rev, n_lab, t_reads
+
+
+def _decode_windows(probs, n_wins, pad_ends, *, opts: BasecallOptions):
+    """Chunk mode: per-window beam search, no LM (reference
+    basecall.py:111-121); the tail window's padding is trimmed first
+    (basecall.py:96)."""
+    n, w, t, c = probs.shape
+    win_idx = jnp.arange(w)[None, :]
+    lens = jnp.where(
+        win_idx == n_wins[:, None] - 1,
+        opts.chunk_len - pad_ends[:, None],
+        opts.chunk_len,
+    )
+    lens = jnp.where(win_idx < n_wins[:, None], lens, 0)
+    rev, n_lab, _ = beam_search_batch(
+        probs.reshape(n * w, t, c),
+        lens.reshape(-1),
+        beam_width=opts.beam_width,
+        lm_enabled=False,
+    )
+    return rev.reshape(n, w, t), n_lab.reshape(n, w)
+
+
+class Basecaller:
+    """Bucketed, batched TPU basecaller."""
+
+    def __init__(
+        self,
+        params,
+        config: DotDict | None = None,
+        lm: KmerLM | None = None,
+        options: BasecallOptions | None = None,
+        compute_dtype=jnp.float32,
+    ):
+        self.config = config if config is not None else default_config()
+        self.options = options or BasecallOptions()
+        self.model = build_model(self.config, compute_dtype=compute_dtype)
+        self.params = params
+        self.lm = lm
+        o = self.options
+        if lm is not None and lm.context_len != o.context_len:
+            raise ValueError(
+                f"LM context_len {lm.context_len} != options.context_len "
+                f"{o.context_len}"
+            )
+        self._lm_probs = (
+            jnp.asarray(lm.probs) if lm is not None
+            else jnp.ones((1, 4), jnp.float32)
+        )
+        self._lm_ent = (
+            jnp.asarray(lm.entropy) if lm is not None
+            else jnp.zeros((1,), jnp.float32)
+        )
+        self._prep = jax.jit(
+            functools.partial(_prep_and_model, model=self.model, opts=o),
+            static_argnames=("max_windows",),
+        )
+        self._global_decode = jax.jit(
+            functools.partial(
+                _assemble_and_decode, opts=o, lm_enabled=lm is not None
+            ),
+            static_argnames=("out_len",),
+        )
+        self._chunk_decode = jax.jit(functools.partial(_decode_windows, opts=o))
+
+    # -- host orchestration ----------------------------------------------
+
+    def basecall_signals(
+        self, signals: Sequence[np.ndarray]
+    ) -> list[str | None]:
+        """Basecall raw int16 signals → 5'→3' sequences (None = skipped)."""
+        o = self.options
+        results: list[str | None] = [None] * len(signals)
+        order = sorted(range(len(signals)), key=lambda i: len(signals[i]))
+        batch: list[int] = []
+        cur_bucket = None
+        for i in order:
+            b = bucket_length(len(signals[i]), o.bucket_quantum)
+            if batch and (b != cur_bucket or len(batch) == o.read_batch):
+                self._run_batch(batch, cur_bucket, signals, results)
+                batch = []
+            cur_bucket = b
+            batch.append(i)
+        if batch:
+            self._run_batch(batch, cur_bucket, signals, results)
+        return results
+
+    def _run_batch(self, idxs, bucket, signals, results):
+        o = self.options
+        n = len(idxs)
+        padded = np.zeros((n, bucket), np.float32)
+        lengths = np.zeros(n, np.int32)
+        for j, i in enumerate(idxs):
+            sig = signals[i]
+            padded[j, : len(sig)] = sig
+            lengths[j] = len(sig)
+        max_w = max_windows_for(bucket, o.chunk_len, o.step_size)
+        probs, n_wins, pad_ends, mads = self._prep(
+            self.params, jnp.asarray(padded), jnp.asarray(lengths),
+            max_windows=max_w,
+        )
+        mads = np.asarray(mads)
+        bad = ~np.isfinite(mads) | (mads == 0)
+
+        if o.decode_type == "global":
+            rev, n_lab, t_reads = self._global_decode(
+                probs, n_wins, pad_ends,
+                self._lm_probs, self._lm_ent, out_len=bucket,
+            )
+            rev = np.asarray(rev)
+            for j, i in enumerate(idxs):
+                if bad[j]:
+                    continue
+                results[i] = labels_to_seq(rev[j])  # already 5'→3'
+        else:
+            rev, n_lab = self._chunk_decode(probs, n_wins, pad_ends)
+            rev = np.asarray(rev)
+            n_wins = np.asarray(n_wins)
+            for j, i in enumerate(idxs):
+                if bad[j]:
+                    continue
+                frags = [
+                    labels_to_seq(rev[j, k], reverse=True)
+                    for k in range(int(n_wins[j]))
+                ]
+                seq = assemble_fragments(frags)
+                results[i] = seq[::-1]  # 5'→3' like the reference driver
+
+    def basecall_directory(
+        self,
+        fast5_dir: str | Path,
+        fasta_dir: str | Path,
+        verbose: bool = True,
+        reads: Iterable[Fast5Read] | None = None,
+    ) -> int:
+        """Basecall every read under ``fast5_dir`` into fasta shards."""
+        o = self.options
+        if reads is None:
+            reads = iter_fast5_dir(fast5_dir)
+        reads = list(reads)
+        t0 = time.time()
+        seqs = self.basecall_signals([r.signal for r in reads])
+        n_written = 0
+        with FastaWriter(fasta_dir, o.reads_per_fasta) as w:
+            for read, seq in zip(reads, seqs):
+                if seq is None:
+                    if verbose:
+                        print(f"{read.read_id} signal issue, skipping this read.")
+                    continue
+                w.write(read.read_id, seq)
+                n_written += 1
+        if verbose:
+            dt = time.time() - t0
+            print(
+                f"Basecalled {n_written}/{len(reads)} reads in {dt:.2f}s "
+                f"({n_written / dt:.2f} reads/s)"
+            )
+        return n_written
+
+
+def load_basecaller(
+    checkpoint: str | Path | None = None,
+    config_path: str | Path | None = None,
+    rna_model: str | Path | None = None,
+    options: BasecallOptions | None = None,
+    seed: int = 0,
+    compute_dtype=jnp.float32,
+) -> Basecaller:
+    """Build a Basecaller from file paths (None checkpoint → seeded init)."""
+    if config_path is None:
+        config = default_config()
+    else:
+        from radian_tpu.config import get_config
+
+        config = get_config(config_path)
+    model = build_model(config, compute_dtype=compute_dtype)
+    if checkpoint is None:
+        params = init_params(model, jax.random.PRNGKey(seed))
+    elif str(checkpoint).endswith(".h5"):
+        from radian_tpu.models.keras_import import load_keras_h5
+
+        params = load_keras_h5(checkpoint, config)
+    else:
+        params = load_params_npz(checkpoint)
+    opts = options or BasecallOptions()
+    lm = None
+    if rna_model is not None and str(rna_model) != "None":
+        lm = load_kmer_json(rna_model, opts.context_len)
+    return Basecaller(params, config, lm, opts, compute_dtype)

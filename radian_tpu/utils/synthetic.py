@@ -1,0 +1,102 @@
+"""Synthetic nanopore squiggle generation.
+
+Produces (signal, label) pairs with pore-model-like structure: each base
+emits a dwell of noisy samples at a level determined by its local k-mer
+context.  Used for training-pipeline tests, trainable toy models, and
+benchmarks — the reference's real training shards (29M windows,
+train.py:18) are external data not present in the snapshot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+N_BASES = 4
+
+
+def kmer_level_table(rng: np.random.Generator, k: int = 3) -> np.ndarray:
+    """Random but fixed current levels per k-mer, spread over [-2, 2]."""
+    n = N_BASES**k
+    return rng.permutation(np.linspace(-2.0, 2.0, n)).astype(np.float32)
+
+
+def synth_read(
+    rng: np.random.Generator,
+    n_bases: int,
+    levels: np.ndarray,
+    k: int = 3,
+    dwell_mean: float = 9.0,
+    dwell_std: float = 2.0,
+    noise: float = 0.25,
+):
+    """One synthetic read: returns (signal f32[n_samples], labels i32[n_bases])."""
+    labels = rng.integers(0, N_BASES, size=n_bases).astype(np.int32)
+    ctx = np.zeros(n_bases, np.int64)
+    for i in range(n_bases):
+        v = 0
+        for j in range(max(0, i - k + 1), i + 1):
+            v = v * N_BASES + labels[j]
+        ctx[i] = v
+    dwells = np.maximum(
+        rng.normal(dwell_mean, dwell_std, size=n_bases).round().astype(int), 3
+    )
+    sig = np.repeat(levels[ctx % len(levels)], dwells)
+    sig = sig + rng.normal(0, noise, size=sig.shape).astype(np.float32)
+    return sig.astype(np.float32), labels
+
+
+def synth_windows(
+    rng: np.random.Generator,
+    n_windows: int,
+    window: int = 1024,
+    levels: np.ndarray | None = None,
+    max_label: int = 64,
+    **read_kw,
+):
+    """Batch of fixed-size windows with CTC labels.
+
+    Returns a dict batch matching the training schema
+    (signal/labels/input_length/label_length).
+    """
+    if levels is None:
+        levels = kmer_level_table(rng)
+    k = read_kw.get("k", 3)
+    dwell_mean = read_kw.get("dwell_mean", 9.0)
+    dwell_std = read_kw.get("dwell_std", 2.0)
+    noise = read_kw.get("noise", 0.25)
+
+    signals = np.zeros((n_windows, window), np.float32)
+    labels = np.zeros((n_windows, max_label), np.int32)
+    label_lengths = np.zeros(n_windows, np.int32)
+    for i in range(n_windows):
+        while True:
+            sig_parts: list[np.ndarray] = []
+            labs: list[int] = []
+            total = 0
+            hist: list[int] = []
+            while total < window:
+                b = int(rng.integers(0, N_BASES))
+                hist.append(b)
+                v = 0
+                for x in hist[-k:]:
+                    v = v * N_BASES + x
+                dwell = max(int(round(rng.normal(dwell_mean, dwell_std))), 3)
+                part = np.full(dwell, levels[v % len(levels)], np.float32)
+                # label a base only if at least half its dwell is in-window
+                if total + dwell // 2 < window:
+                    labs.append(b)
+                sig_parts.append(part)
+                total += dwell
+            sig = np.concatenate(sig_parts)[:window]
+            sig = sig + rng.normal(0, noise, size=window).astype(np.float32)
+            if 0 < len(labs) <= max_label:
+                signals[i] = sig
+                labels[i, : len(labs)] = labs
+                label_lengths[i] = len(labs)
+                break
+    return {
+        "signal": signals,
+        "labels": labels,
+        "input_length": np.full(n_windows, window, np.int32),
+        "label_length": label_lengths,
+    }

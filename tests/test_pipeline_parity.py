@@ -1,0 +1,145 @@
+"""End-to-end fasta parity: our TPU pipeline vs the reference pipeline.
+
+The reference's trained weights are stripped from the snapshot, so both
+stacks share deterministically-initialised weights (our model is the
+weight source; the reference path consumes its softmax outputs, exactly
+as the reference driver consumes sig_model.predict()).  Signals are the
+real reads from data/reads.fast5, truncated to keep the pure-python
+oracle decoder fast.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from radian_tpu.io import iter_fast5_reads
+from radian_tpu.lm import build_dense_tables, random_kmer_model
+from radian_tpu.lm.kmer import KmerLM
+from radian_tpu.models import build_model, init_params
+from radian_tpu.pipeline import Basecaller, BasecallOptions
+from tests import reference_oracle as oracle
+from tests.test_beam_search import _DenseDictView
+
+
+@pytest.fixture(scope="module")
+def shared_params():
+    model = build_model()
+    return init_params(model, jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def signals(reads_fast5_path):
+    reads = sorted(
+        iter_fast5_reads(reads_fast5_path), key=lambda r: len(r.signal)
+    )
+    return [r.signal for r in reads]
+
+
+def _reference_pipeline(signal, params, decode_type="global", lm=None,
+                        s_thr=0.5, r_thr=0.5, ctx_len=11, beam_width=6):
+    """Reference driver dataflow (basecall.py:75-123), oracle modules +
+    shared model weights."""
+    ref_pp = oracle.preprocess()
+    ref_ma = oracle.matrix_assembly()
+    ref_sa = oracle.sequence_assembly()
+    ref_de = oracle.decode()
+    model = build_model()
+
+    norm = ref_pp.mad_normalise(signal, 4)
+    windows, pad = ref_pp.get_windows(norm, 1024, 128)
+    probs = np.asarray(
+        model.apply(
+            {"params": params},
+            windows.astype(np.float32)[..., None],
+            probs=True,
+        )
+    )
+    matrices = [probs[i] for i in range(probs.shape[0])]
+    matrices[-1] = matrices[-1][:-pad]
+
+    if decode_type == "global":
+        mat = ref_ma.assemble_matrices(matrices, 128)
+        seq = ref_de.beam_search(
+            mat, "ACGT", beam_width, lm, s_thr, r_thr, ctx_len, {}
+        )
+    else:
+        frags = [
+            ref_de.beam_search(m, "ACGT", beam_width, None, None, None, None, None)
+            for m in matrices
+        ]
+        consensus = ref_sa.simple_assembly(frags)
+        seq = ref_sa.index2base(np.argmax(consensus, axis=0))
+    return seq[::-1]
+
+
+def test_global_mode_parity_no_lm(shared_params, signals):
+    sigs = [signals[0][:2500], signals[1][:3000]]
+    expected = [
+        _reference_pipeline(s, shared_params, "global") for s in sigs
+    ]
+    bc = Basecaller(shared_params, options=BasecallOptions(read_batch=2))
+    got = bc.basecall_signals(sigs)
+    assert got == expected
+    assert all(len(s) > 10 for s in got)
+
+
+def test_global_mode_parity_with_lm(shared_params, signals):
+    rng = np.random.default_rng(7)
+    model_dict = random_kmer_model(rng, context_len=11, n_contexts=3000,
+                                   concentration=0.2)
+    lm = build_dense_tables(model_dict, 11)
+    sigs = [signals[0][:2500]]
+    # thresholds chosen so the gate actually fires on init-weight outputs
+    expected = [
+        _reference_pipeline(
+            s, shared_params, "global", lm=_DenseDictView(lm),
+            s_thr=0.1, r_thr=1.38, ctx_len=11,
+        )
+        for s in sigs
+    ]
+    bc = Basecaller(
+        shared_params,
+        lm=lm,
+        options=BasecallOptions(sig_threshold=0.1, rna_threshold=1.38),
+    )
+    got = bc.basecall_signals(sigs)
+    assert got == expected
+
+
+def test_chunk_mode_parity(shared_params, signals):
+    sigs = [signals[0][:1500]]
+    expected = [
+        _reference_pipeline(s, shared_params, "chunk") for s in sigs
+    ]
+    bc = Basecaller(
+        shared_params, options=BasecallOptions(decode_type="chunk")
+    )
+    got = bc.basecall_signals(sigs)
+    assert got == expected
+
+
+def test_skip_bad_reads(shared_params):
+    """Constant signal (MAD=0) is skipped like the reference driver."""
+    good = np.random.default_rng(0).integers(200, 800, 2000).astype(np.int16)
+    flat = np.full(2000, 500, np.int16)
+    bc = Basecaller(shared_params, options=BasecallOptions())
+    out = bc.basecall_signals([good, flat])
+    assert out[0] is not None
+    assert out[1] is None
+
+
+def test_directory_to_fasta(shared_params, signals, tmp_path, reads_fast5_path):
+    """Full driver path on truncated signals: fasta written with read ids."""
+    from radian_tpu.io.fast5 import Fast5Read
+    from radian_tpu.io.fasta import read_fasta
+
+    reads = [
+        Fast5Read(read_id=f"id-{i}", signal=s[:2000])
+        for i, s in enumerate(signals[:2])
+    ]
+    bc = Basecaller(shared_params, options=BasecallOptions(read_batch=2))
+    n = bc.basecall_directory(None, tmp_path, verbose=False, reads=reads)
+    assert n == 2
+    out = read_fasta(tmp_path / "reads-0.fasta")
+    assert set(out) == {"id-0", "id-1"}
+    assert all(set(v) <= set("ACGT") and v for v in out.values())

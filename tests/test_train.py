@@ -1,0 +1,164 @@
+"""Training stack: optimizers, train step convergence, checkpoint resume,
+data pipeline, multi-device sharding."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from radian_tpu.config import default_config
+from radian_tpu.train.data import ShardDataset, host_shard_files, list_shards
+from radian_tpu.train.optimizers import build_optimizer
+from radian_tpu.train.trainer import TrainConfig, Trainer
+from radian_tpu.utils.synthetic import kmer_level_table, synth_windows
+
+
+def _tiny_config():
+    cfg = default_config()
+    cfg.model.tcn.nb_filters = 32
+    cfg.model.tcn.dilations = [1, 2, 4]
+    cfg.model.relu_units = 32
+    cfg.model.timesteps = 256
+    cfg.data.window_size = 256
+    cfg.train.batch_size = 8
+    cfg.train.opt.adam.lr = 0.003
+    return cfg
+
+
+@pytest.mark.parametrize("kind", ["adam", "sgd", "adagrad", "cc_opt"])
+def test_build_optimizer_variants(kind):
+    cfg = default_config()
+    cfg.train.opt.type = kind
+    tx = build_optimizer(cfg.train.opt)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.ones((3,))}, state, params)
+    assert updates["w"].shape == (3,)
+
+
+def test_optimizer_clipnorm():
+    cfg = default_config()
+    cfg.train.opt.adam.clipnorm = 1.0
+    tx = build_optimizer(cfg.train.opt)
+    params = {"w": jnp.zeros((4,))}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.full((4,), 100.0)}, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+@pytest.fixture(scope="module")
+def synth_batches():
+    rng = np.random.default_rng(0)
+    levels = kmer_level_table(rng)
+    return [
+        synth_windows(rng, 8, window=256, levels=levels, max_label=64)
+        for _ in range(30)
+    ]
+
+
+def test_training_reduces_loss(synth_batches, tmp_path):
+    cfg = _tiny_config()
+    trainer = Trainer(
+        cfg,
+        TrainConfig(checkpoint_dir=None, log_dir=str(tmp_path / "logs"),
+                    steps_per_epoch=None),
+    )
+    first = trainer.evaluate(synth_batches[:4])
+    for _ in range(3):
+        trainer.train_epoch(synth_batches, epoch=0)
+    last = trainer.evaluate(synth_batches[:4])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first * 0.7, f"loss did not decrease: {first} -> {last}"
+    # metrics were logged
+    lines = (tmp_path / "logs" / "metrics.jsonl").read_text().strip().split("\n")
+    assert len(lines) >= 2
+
+
+def test_checkpoint_save_restore(synth_batches, tmp_path):
+    cfg = _tiny_config()
+    ckpt_dir = str(tmp_path / "ckpt")
+    tr1 = Trainer(cfg, TrainConfig(checkpoint_dir=ckpt_dir))
+    tr1.train_epoch(synth_batches[:5], epoch=0)
+    tr1.save_checkpoint(epoch=0)
+    step1 = int(tr1.state.step)
+    p1 = jax.tree.map(np.asarray, tr1.state.params)
+
+    tr2 = Trainer(cfg, TrainConfig(checkpoint_dir=ckpt_dir))
+    resume_epoch = tr2.restore_checkpoint()
+    assert resume_epoch == 1
+    assert int(tr2.state.step) == step1
+    p2 = jax.tree.map(np.asarray, tr2.state.params)
+    jax.tree.map(np.testing.assert_array_equal, p1, p2)
+    # optimizer state restored too (not just weights — fixes reference gap)
+    o1 = jax.tree.map(np.asarray, tr1.state.opt_state)
+    o2 = jax.tree.map(np.asarray, tr2.state.opt_state)
+    jax.tree.map(np.testing.assert_array_equal, o1, o2)
+
+
+def test_data_pipeline_from_shards(rng, tmp_path):
+    from radian_tpu.io.tfrecord import write_shard
+
+    levels = kmer_level_table(rng)
+    (tmp_path / "train").mkdir()
+    for s in range(3):
+        batch = synth_windows(rng, 10, window=256, levels=levels)
+        exs = [
+            {
+                "signal": batch["signal"][i],
+                "label": batch["labels"][i][: batch["label_length"][i]].astype(
+                    np.float32
+                ),
+                "signal_length": 256,
+                "label_length": int(batch["label_length"][i]),
+            }
+            for i in range(10)
+        ]
+        write_shard(tmp_path / "train" / f"shard-{s}.tfrecords", exs)
+
+    files = list_shards(tmp_path, "train")
+    assert len(files) == 3
+    ds = ShardDataset(files, batch_size=4, train=False, window=256)
+    assert ds.count_examples() == 30
+    batches = list(ds)
+    assert len(batches) == 7  # 30/4 -> 7 full + remainder kept (val mode)
+    total = sum(b["signal"].shape[0] for b in batches)
+    assert total == 30
+    for b in batches:
+        assert b["signal"].shape[1] == 256
+        assert b["labels"].dtype == np.int32
+
+    # train mode: infinite, shuffled, drop remainder
+    it = iter(ShardDataset(files, batch_size=4, train=True, window=256, seed=1))
+    seen = [next(it) for _ in range(10)]
+    assert all(b["signal"].shape == (4, 256) for b in seen)
+
+    # host sharding covers all files disjointly
+    a = host_shard_files(files, 0, 2)
+    b = host_shard_files(files, 1, 2)
+    assert sorted(a + b) == files
+
+
+def test_multi_device_data_parallel_training(synth_batches):
+    """Train step over an 8-device mesh: batch sharded, grads all-reduced."""
+    from radian_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_config()
+    mesh = make_mesh(data=8, model=1)
+    trainer = Trainer(cfg, TrainConfig(checkpoint_dir=None), mesh=mesh)
+    l0 = trainer.evaluate(synth_batches[:2])
+    trainer.train_epoch(synth_batches[:20], epoch=0)
+    l1 = trainer.evaluate(synth_batches[:2])
+    assert np.isfinite(l1) and l1 < l0
+
+
+def test_tensor_parallel_mesh(synth_batches):
+    """data×model = 4×2 mesh with sharded conv/dense kernels still trains."""
+    from radian_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_config()
+    mesh = make_mesh(data=4, model=2)
+    trainer = Trainer(cfg, TrainConfig(checkpoint_dir=None), mesh=mesh)
+    state0 = trainer.evaluate(synth_batches[:2])
+    trainer.train_epoch(synth_batches[:10], epoch=0)
+    state1 = trainer.evaluate(synth_batches[:2])
+    assert np.isfinite(state1) and state1 < state0
