@@ -16,16 +16,21 @@ Usage: JAX_PLATFORMS=cpu python bench_baseline.py
 """
 
 import json
+import os
 import time
 from pathlib import Path
 
 import numpy as np
+
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 from tests import reference_oracle as oracle
 
 
 def main():
     import jax
+
+    jax.config.update("jax_platforms", "cpu")  # axon plugin overrides env
 
     from radian_tpu.io import iter_fast5_reads
     from radian_tpu.lm import build_dense_tables, random_kmer_model

@@ -177,7 +177,14 @@ def _decode_example(payload: bytes) -> dict:
                     out[key] = np.asarray(vals, np.float32)
             elif (vtag >> 3) == 3:  # int64_list
                 ltag, lpos = _read_varint(body, 0)
-                v, lpos = _read_varint(body, lpos)
+                if (ltag & 7) == 2:  # packed repeated int64
+                    plen, lpos = _read_varint(body, lpos)
+                    stop = lpos + plen
+                    v = 0
+                    while lpos < stop:
+                        v, lpos = _read_varint(body, lpos)
+                else:
+                    v, lpos = _read_varint(body, lpos)
                 out[key] = int(v)
         pos = eend
     return out

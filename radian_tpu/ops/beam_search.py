@@ -203,13 +203,12 @@ def _step(state: BeamState, xs, *, beam_width, lm_probs, lm_ent, ctx_mod,
         jnp.where(absorb, jnp.logaddexp(copy_t_in, pr_nb_e), pr_nb_e),
     )
 
-    # Candidate arrays in insertion order: slot 5b = copy(b), 5b+1+c = ext(b,c).
+    # Candidate arrays in insertion order: slot 5b = copy(b), 5b+1+c =
+    # ext(b, c) — i.e. rows of [W, 5] with the copy in column 0.
     def interleave(copy_vals, ext_vals, dtype=jnp.float32):
-        out = jnp.empty((5 * w,), dtype)
-        out = out.at[slot_copy].set(copy_vals.astype(dtype))
-        return out.at[slot_ext.reshape(-1)].set(
-            ext_vals.reshape(-1).astype(dtype)
-        )
+        return jnp.concatenate(
+            [copy_vals.astype(dtype)[:, None], ext_vals.astype(dtype)], axis=1
+        ).reshape(5 * w)
 
     cand_pr_b = interleave(m_pr_b_c, m_pr_b_e)
     cand_pr_nb = interleave(m_pr_nb_c, m_pr_nb_e)
@@ -335,7 +334,7 @@ def beam_search_batch(
     def one(mat, s_ent, length):
         active = t_idx < length
         final, (parents, appends) = jax.lax.scan(
-            step, _init_state(beam_width), (mat, s_ent, active)
+            step, _init_state(beam_width), (mat, s_ent, active), unroll=4
         )
         rev = _backtrace(parents, appends)
         return rev, final.length[0], final.pr_t[0]
@@ -351,5 +350,9 @@ def labels_to_seq(rev_labels: np.ndarray, reverse: bool = False,
     the fasta output wants; ``reverse=True`` yields the decoder-order
     string matching reference ``beam_search``'s return value.
     """
-    labs = [bases[l] for l in np.asarray(rev_labels) if l >= 0]
-    return "".join(labs[::-1] if reverse else labs)
+    arr = np.asarray(rev_labels)
+    labs = arr[arr >= 0]
+    if reverse:
+        labs = labs[::-1]
+    lut = np.frombuffer(bases.encode(), np.uint8)
+    return lut[labs].tobytes().decode()

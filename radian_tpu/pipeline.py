@@ -193,11 +193,14 @@ class Basecaller:
 
     def _run_batch(self, idxs, bucket, signals, results):
         o = self.options
-        n = len(idxs)
+        # pad the batch to a fixed size so each bucket compiles exactly one
+        # program; filler rows replicate the first read and are discarded
+        n = o.read_batch
+        real = len(idxs)
         padded = np.zeros((n, bucket), np.float32)
         lengths = np.zeros(n, np.int32)
-        for j, i in enumerate(idxs):
-            sig = signals[i]
+        for j in range(n):
+            sig = signals[idxs[j]] if j < real else signals[idxs[0]]
             padded[j, : len(sig)] = sig
             lengths[j] = len(sig)
         max_w = max_windows_for(bucket, o.chunk_len, o.step_size)
@@ -214,7 +217,7 @@ class Basecaller:
                 self._lm_probs, self._lm_ent, out_len=bucket,
             )
             rev = np.asarray(rev)
-            for j, i in enumerate(idxs):
+            for j, i in enumerate(idxs[:real]):
                 if bad[j]:
                     continue
                 results[i] = labels_to_seq(rev[j])  # already 5'→3'
@@ -222,7 +225,7 @@ class Basecaller:
             rev, n_lab = self._chunk_decode(probs, n_wins, pad_ends)
             rev = np.asarray(rev)
             n_wins = np.asarray(n_wins)
-            for j, i in enumerate(idxs):
+            for j, i in enumerate(idxs[:real]):
                 if bad[j]:
                     continue
                 frags = [

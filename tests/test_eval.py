@@ -1,0 +1,137 @@
+"""Evaluation tooling: alignment identity + SAM accuracy."""
+
+import numpy as np
+import pytest
+
+from radian_tpu.eval.accuracy import sam_accuracy
+from radian_tpu.eval.align import (
+    alignment_stats,
+    evaluate_fasta,
+    global_align,
+    read_identity,
+)
+
+
+def test_align_identical():
+    ra, qa = global_align("ACGTACGT", "ACGTACGT")
+    assert ra == qa == "ACGTACGT"
+    st = read_identity("ACGTACGT", "ACGTACGT")
+    assert st["accuracy"] == 100.0
+    assert st["n_match"] == 8
+
+
+def test_align_substitution():
+    st = read_identity("ACGTACGT", "ACGTTCGT")
+    assert st["n_sub"] == 1
+    assert st["n_match"] == 7
+
+
+def test_align_insertion_deletion():
+    st = read_identity("ACGTACGT", "ACGACGT")  # one deletion in query
+    assert st["n_del"] == 1
+    st = read_identity("ACGACGT", "ACGTACGT")  # one insertion in query
+    assert st["n_ins"] == 1
+
+
+def test_u_to_t_normalisation():
+    st = read_identity("ACGT", "ACGU")
+    assert st["accuracy"] == 100.0
+
+
+def test_soft_clip_leading_garbage():
+    """Leading query-only bases (ref gaps) are clipped, not counted."""
+    ra = "---ACGTACGT"
+    qa = "TTTACGTACGT"
+    n_mat, n_sub, n_ins, n_del = alignment_stats(ra, qa)
+    assert n_ins == 0
+    assert n_mat == 8
+
+
+def test_alignment_matches_biopython_scoring(rng):
+    """Score consistency: our aligner's implied score should equal a
+    brute-force optimum on small cases (affine gap: open -4 extend -2)."""
+    def score(ra, qa):
+        s = 0.0
+        in_gap_r = in_gap_q = False
+        for r, q in zip(ra, qa):
+            if r == "-":
+                s += -2.0 if in_gap_r else -4.0
+                in_gap_r, in_gap_q = True, False
+            elif q == "-":
+                s += -2.0 if in_gap_q else -4.0
+                in_gap_q, in_gap_r = True, False
+            else:
+                s += 2.0 if r == q else -4.0
+                in_gap_r = in_gap_q = False
+        return s
+
+    for _ in range(10):
+        n1, n2 = rng.integers(3, 10, 2)
+        ref = "".join(rng.choice(list("ACGT"), n1))
+        q = "".join(rng.choice(list("ACGT"), n2))
+        ra, qa = global_align(ref, q)
+        got = score(ra, qa)
+        best = _brute_force_best(ref, q)
+        assert got == pytest.approx(best), (ref, q, ra, qa)
+
+
+def _brute_force_best(ref, q):
+    """Exponential-time exact affine-gap global alignment score."""
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def go(i, j, state):
+        if i == len(ref) and j == len(q):
+            return 0.0
+        best = -1e18
+        if i < len(ref) and j < len(q):
+            s = 2.0 if ref[i] == q[j] else -4.0
+            best = max(best, s + go(i + 1, j + 1, 0))
+        if i < len(ref):
+            cost = -2.0 if state == 1 else -4.0
+            best = max(best, cost + go(i + 1, j, 1))
+        if j < len(q):
+            cost = -2.0 if state == 2 else -4.0
+            best = max(best, cost + go(i, j + 1, 2))
+        return best
+
+    return go(0, 0, 0)
+
+
+def test_evaluate_fasta(tmp_path):
+    (tmp_path / "out.fasta").write_text(">r1\nACGTACGTAA\n>r2\nTTTTACGT\n")
+    (tmp_path / "refs.tsv").write_text(
+        "read\ttxt\tseq\nr1\tt1\tACGTACGTAA\nr2\tt2\tTTTTACGT\n"
+    )
+    summary = evaluate_fasta(tmp_path / "out.fasta", tmp_path / "refs.tsv",
+                             tmp_path / "out.tsv")
+    assert summary["n_reads"] == 2
+    assert summary["accuracy"]["median"] == 100.0
+    assert (tmp_path / "out.tsv").read_text().count("\n") == 3
+
+
+SAM_TEXT = """\
+@SQ\tSN:ENST1|g|h|i|j|k|l|protein_coding|x\tLN:1000
+r1\t0\tENST1|g|h|i|j|k|l|protein_coding|x\t1\t60\t8M\t*\t0\t0\tACGTACGT\t*\tNM:i:1
+r2\t4\t*\t0\t0\t*\t*\t0\t0\tACGT\t*
+r3\t16\tENST1|g|h|i|j|k|l|protein_coding|x\t1\t60\t4M\t*\t0\t0\tACGT\t*\tNM:i:0
+r4\t0\tENST2|g|h|i|j|k|l|lncRNA|x\t1\t60\t4M\t*\t0\t0\tACGT\t*\tNM:i:0
+r5\t0\tENST1|g|h|i|j|k|l|protein_coding|x\t1\t60\t4M1I2M1D2M\t*\t0\t0\tACGTAACGT\t*\tNM:i:3
+"""
+
+
+def test_sam_accuracy(tmp_path):
+    p = tmp_path / "aln.sam"
+    p.write_text(SAM_TEXT)
+    summary = sam_accuracy(p, tmp_path / "aln.tsv")
+    # r1: 8M NM=1 -> 7 match 1 sub; r5: 8M 1I 1D NM=3 -> sub=1, match=7
+    assert summary["n_reads"] == 2
+    assert summary["unmapped"] == 1
+    assert summary["reverse"] == 1
+    # identity = match / (match + NM):  r1: 7/(7+1); r5: 7/(7+3)
+    r1_acc = 7 / 8 * 100
+    r5_acc = 7 / 10 * 100
+    assert summary["accuracy"]["mean"] == pytest.approx((r1_acc + r5_acc) / 2)
+    tsv = (tmp_path / "aln.tsv").read_text()
+    assert "r1\tENST1\t7\t0\t0\t1" in tsv
+    assert "r5\tENST1\t7\t1\t1\t1" in tsv

@@ -120,7 +120,7 @@ def test_data_pipeline_from_shards(rng, tmp_path):
     ds = ShardDataset(files, batch_size=4, train=False, window=256)
     assert ds.count_examples() == 30
     batches = list(ds)
-    assert len(batches) == 7  # 30/4 -> 7 full + remainder kept (val mode)
+    assert len(batches) == 8  # 30/4 -> 7 full + remainder kept (val mode)
     total = sum(b["signal"].shape[0] for b in batches)
     assert total == 30
     for b in batches:

@@ -1,0 +1,40 @@
+"""Dev-utility parity: label rendering, dataset stats, synthetic data."""
+
+import numpy as np
+
+from radian_tpu.utils.inspect import (
+    benchmark_dataset,
+    count_steps_per_epoch,
+    get_label_stats,
+    label_to_sequence,
+)
+from radian_tpu.utils.synthetic import kmer_level_table, synth_windows
+
+
+def test_label_to_sequence():
+    assert label_to_sequence([0, 1, 2, 3, 0], 4) == "ACGT"
+    assert label_to_sequence(np.array([3.0, 3.0, 1.0]), np.int64(2)) == "TT"
+
+
+def test_dataset_utils(rng):
+    levels = kmer_level_table(rng)
+    batches = [synth_windows(rng, 4, window=256, levels=levels) for _ in range(3)]
+    assert count_steps_per_epoch(batches) == 3
+    assert benchmark_dataset(batches) >= 0
+    stats = get_label_stats(batches)
+    assert sum(stats.values()) == 12
+    for seq in stats:
+        assert set(seq) <= set("ACGT")
+
+
+def test_synth_windows_schema(rng):
+    batch = synth_windows(rng, 5, window=256)
+    assert batch["signal"].shape == (5, 256)
+    assert batch["labels"].shape[0] == 5
+    assert (batch["label_length"] > 0).all()
+    assert (batch["input_length"] == 256).all()
+    # labels lie in range and pad is zero
+    for i in range(5):
+        n = batch["label_length"][i]
+        assert set(np.unique(batch["labels"][i][:n])) <= {0, 1, 2, 3}
+        assert np.all(batch["labels"][i][n:] == 0)
