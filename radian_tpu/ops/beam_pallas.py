@@ -119,7 +119,7 @@ def _kernel(len_ref, logm_hbm, bp_hbm, score_ref, nlab_ref,
             t_global = c * CHUNK + tc
             active = t_global < read_len  # [1, LANES]
 
-            lp = inbuf[slot, tc]  # [5, LANES]
+            lp = inbuf[slot, tc]  # [8, LANES]; rows 0-4 = classes
             blank_lp = lp[4:5, :]
 
             pr_b = pr_b_ref[:]
@@ -153,12 +153,13 @@ def _kernel(len_ref, logm_hbm, bp_hbm, score_ref, nlab_ref,
 
             # merge detection EXTEND(b1, c) vs COPY(b2); extend absorbs
             # iff b2 > b1 (slot 5b1+1+c < 5b2)
+            # killed-flags are int32 0/1: Mosaic can't select i1 vectors
             copy_extra = jnp.full((WSUB, LANES), NEG)
-            copy_killed = jnp.zeros((WSUB, LANES), jnp.bool_)
+            copy_killed = jnp.zeros((WSUB, LANES), jnp.int32)
             ext_nb_in = [jnp.full((WSUB, LANES), NEG) for _ in range(4)]
             ext_pb_in = [jnp.full((WSUB, LANES), NEG) for _ in range(4)]
             ext_pt_in = [jnp.full((WSUB, LANES), NEG) for _ in range(4)]
-            ext_killed = [jnp.zeros((WSUB, LANES), jnp.bool_) for _ in range(4)]
+            ext_killed = [jnp.zeros((WSUB, LANES), jnp.int32) for _ in range(4)]
 
             for b2 in range(beam_width):
                 h1_b2 = _row(h1, b2)
@@ -186,30 +187,33 @@ def _kernel(len_ref, logm_hbm, bp_hbm, score_ref, nlab_ref,
                     )
                     killed_b2 = jnp.max(
                         jnp.where(m & ext_wins, 1, 0), axis=0, keepdims=True
-                    ) > 0
+                    )
                     copy_killed = jnp.where(
-                        w_iota == b2, copy_killed | killed_b2, copy_killed
+                        w_iota == b2, jnp.maximum(copy_killed, killed_b2),
+                        copy_killed,
                     )
                     absorb = m & ext_wins
                     ext_nb_in[cbase] = jnp.where(absorb, nb_c_b2, ext_nb_in[cbase])
                     ext_pb_in[cbase] = jnp.where(absorb, pb_c_b2, ext_pb_in[cbase])
                     ext_pt_in[cbase] = jnp.where(absorb, pt_c_b2, ext_pt_in[cbase])
-                    ext_killed[cbase] = ext_killed[cbase] | (m & ~ext_wins)
+                    ext_killed[cbase] = jnp.maximum(
+                        ext_killed[cbase], jnp.where(m & ~ext_wins, 1, 0)
+                    )
 
             # merged candidate columns: col 0 = copy, col 1+c = extend c
-            cand_pb = [jnp.where(copy_killed, NEG, pr_b_c)]
-            cand_nb = [jnp.where(copy_killed, NEG,
+            cand_pb = [jnp.where(copy_killed > 0, NEG, pr_b_c)]
+            cand_nb = [jnp.where(copy_killed > 0, NEG,
                                  _logaddexp(pr_nb_c, copy_extra))]
-            cand_pt = [jnp.where(copy_killed, NEG,
+            cand_pt = [jnp.where(copy_killed > 0, NEG,
                                  _logaddexp(pr_t_c, copy_extra))]
             for cbase in range(4):
                 cand_pb.append(ext_pb_in[cbase])
                 cand_nb.append(
-                    jnp.where(ext_killed[cbase], NEG,
+                    jnp.where(ext_killed[cbase] > 0, NEG,
                               _logaddexp(ext[cbase], ext_nb_in[cbase]))
                 )
                 cand_pt.append(
-                    jnp.where(ext_killed[cbase], NEG,
+                    jnp.where(ext_killed[cbase] > 0, NEG,
                               _logaddexp(ext[cbase], ext_pt_in[cbase]))
                 )
             # dead beam rows (w >= beam_width) must never be picked
@@ -346,6 +350,8 @@ def beam_search_pallas(mats, lengths, *, beam_width: int = 6,
     n_chunks = tp // CHUNK
 
     logm = jnp.log(jnp.transpose(mats, (1, 2, 0)))  # [T, 5, N]
+    # pad the class dim to the sublane tile (8) so HBM DMA slices align
+    logm = jnp.pad(logm, ((0, 0), (0, 3), (0, 0)), constant_values=NEG)
 
     kernel = functools.partial(
         _kernel, beam_width=beam_width, n_chunks=n_chunks
@@ -371,7 +377,7 @@ def beam_search_pallas(mats, lengths, *, beam_width: int = 6,
             jax.ShapeDtypeStruct((WSUB, np_), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, 5, LANES), jnp.float32),
+            pltpu.VMEM((2, CHUNK, 8, LANES), jnp.float32),
             pltpu.VMEM((WSUB, LANES), jnp.float32),  # pr_b
             pltpu.VMEM((WSUB, LANES), jnp.float32),  # pr_nb
             pltpu.VMEM((WSUB, LANES), jnp.float32),  # pr_t

@@ -110,7 +110,7 @@ def _fused_dist(m4, s_base, s_sum, r_dist, r_ent, s_ent, len_ok, s_thr, r_thr):
     return jnp.where(gate[:, None], fused, m4[None, :])
 
 
-def _step(state: BeamState, xs, *, beam_width, lm_probs, lm_ent, ctx_mod,
+def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
           s_thr, r_thr, ctx_len, lm_enabled):
     m5, s_ent, active = xs
     w = beam_width
@@ -120,14 +120,16 @@ def _step(state: BeamState, xs, *, beam_width, lm_probs, lm_ent, ctx_mod,
     if lm_enabled:
         s_sum = m4.sum()
         s_base = jnp.where(s_sum > 0, m4 / s_sum, 0.0)
+        # one fused gather: rows [2W, 5] = next-base probs + entropy for
+        # both contexts of every beam (halves the per-step HBM gathers)
+        rows = lm_table[jnp.concatenate([state.ctx_prev, state.ctx_full])]
+        rows_c, rows_e = rows[:w], rows[w:]
         dist_c = _fused_dist(
-            m4, s_base, s_sum,
-            lm_probs[state.ctx_prev], lm_ent[state.ctx_prev],
+            m4, s_base, s_sum, rows_c[:, :N_BASES], rows_c[:, N_BASES],
             s_ent, state.length >= ctx_len + 1, s_thr, r_thr,
         )
         dist_e = _fused_dist(
-            m4, s_base, s_sum,
-            lm_probs[state.ctx_full], lm_ent[state.ctx_full],
+            m4, s_base, s_sum, rows_e[:, :N_BASES], rows_e[:, N_BASES],
             s_ent, state.length >= ctx_len, s_thr, r_thr,
         )
     else:
@@ -312,9 +314,12 @@ def beam_search_batch(
     """
     mats = mats.astype(jnp.float32)
     n, t, _ = mats.shape
-    if not lm_enabled:
-        lm_probs = jnp.ones((1, N_BASES), jnp.float32)
-        lm_ent = jnp.zeros((1,), jnp.float32)
+    if lm_enabled:
+        lm_table = jnp.concatenate(
+            [lm_probs, lm_ent[:, None]], axis=1
+        )  # [4^ctx, 5]
+    else:
+        lm_table = jnp.ones((1, N_BASES + 1), jnp.float32)
     ctx_mod = N_BASES**ctx_len
     s_ents = signal_entropies(mats)
     t_idx = jnp.arange(t)
@@ -322,8 +327,7 @@ def beam_search_batch(
     step = functools.partial(
         _step,
         beam_width=beam_width,
-        lm_probs=lm_probs,
-        lm_ent=lm_ent,
+        lm_table=lm_table,
         ctx_mod=ctx_mod,
         s_thr=jnp.float32(s_threshold if s_threshold is not None else 0.0),
         r_thr=jnp.float32(r_threshold if r_threshold is not None else 0.0),

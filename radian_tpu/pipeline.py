@@ -59,6 +59,11 @@ class BasecallOptions:
     read_batch: int = 8  # reads decoded concurrently (global mode)
     bucket_quantum: int = 4096
     reads_per_fasta: int = 1000
+    # 'auto' = pallas kernel for no-LM decodes on TPU, XLA scan otherwise
+    decode_backend: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    # chunk-mode consensus: 'reference' = host difflib (parity),
+    # 'device' = jitted offset-correlation stitcher
+    consensus: str = "reference"
 
 
 def _prep_and_model(
@@ -84,6 +89,7 @@ def _prep_and_model(
 def _assemble_and_decode(
     probs, n_wins, pad_ends, lm_probs, lm_ent,
     *, opts: BasecallOptions, out_len: int, lm_enabled: bool,
+    use_pallas: bool = False,
 ):
     def one(p, nw, pe):
         return assemble_matrices(
@@ -92,21 +98,29 @@ def _assemble_and_decode(
         )
 
     mats, t_reads = jax.vmap(one)(probs, n_wins, pad_ends)
-    rev, n_lab, _ = beam_search_batch(
-        mats,
-        t_reads,
-        beam_width=opts.beam_width,
-        lm_probs=lm_probs,
-        lm_ent=lm_ent,
-        s_threshold=opts.sig_threshold,
-        r_threshold=opts.rna_threshold,
-        ctx_len=opts.context_len,
-        lm_enabled=lm_enabled,
-    )
+    if use_pallas and not lm_enabled:
+        from radian_tpu.ops.beam_pallas import beam_search_pallas
+
+        rev, n_lab, _ = beam_search_pallas(
+            mats, t_reads, beam_width=opts.beam_width
+        )
+    else:
+        rev, n_lab, _ = beam_search_batch(
+            mats,
+            t_reads,
+            beam_width=opts.beam_width,
+            lm_probs=lm_probs,
+            lm_ent=lm_ent,
+            s_threshold=opts.sig_threshold,
+            r_threshold=opts.rna_threshold,
+            ctx_len=opts.context_len,
+            lm_enabled=lm_enabled,
+        )
     return rev, n_lab, t_reads
 
 
-def _decode_windows(probs, n_wins, pad_ends, *, opts: BasecallOptions):
+def _decode_windows(probs, n_wins, pad_ends, *, opts: BasecallOptions,
+                    use_pallas: bool = False):
     """Chunk mode: per-window beam search, no LM (reference
     basecall.py:111-121); the tail window's padding is trimmed first
     (basecall.py:96)."""
@@ -118,12 +132,20 @@ def _decode_windows(probs, n_wins, pad_ends, *, opts: BasecallOptions):
         opts.chunk_len,
     )
     lens = jnp.where(win_idx < n_wins[:, None], lens, 0)
-    rev, n_lab, _ = beam_search_batch(
-        probs.reshape(n * w, t, c),
-        lens.reshape(-1),
-        beam_width=opts.beam_width,
-        lm_enabled=False,
-    )
+    if use_pallas:
+        from radian_tpu.ops.beam_pallas import beam_search_pallas
+
+        rev, n_lab, _ = beam_search_pallas(
+            probs.reshape(n * w, t, c), lens.reshape(-1),
+            beam_width=opts.beam_width,
+        )
+    else:
+        rev, n_lab, _ = beam_search_batch(
+            probs.reshape(n * w, t, c),
+            lens.reshape(-1),
+            beam_width=opts.beam_width,
+            lm_enabled=False,
+        )
     return rev.reshape(n, w, t), n_lab.reshape(n, w)
 
 
@@ -157,17 +179,27 @@ class Basecaller:
             jnp.asarray(lm.entropy) if lm is not None
             else jnp.zeros((1,), jnp.float32)
         )
+        if o.decode_backend == "pallas":
+            use_pallas = True
+        elif o.decode_backend == "xla":
+            use_pallas = False
+        else:  # auto: kernel path needs a real TPU backend
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
         self._prep = jax.jit(
             functools.partial(_prep_and_model, model=self.model, opts=o),
             static_argnames=("max_windows",),
         )
         self._global_decode = jax.jit(
             functools.partial(
-                _assemble_and_decode, opts=o, lm_enabled=lm is not None
+                _assemble_and_decode, opts=o, lm_enabled=lm is not None,
+                use_pallas=use_pallas,
             ),
             static_argnames=("out_len",),
         )
-        self._chunk_decode = jax.jit(functools.partial(_decode_windows, opts=o))
+        self._chunk_decode = jax.jit(
+            functools.partial(_decode_windows, opts=o, use_pallas=use_pallas)
+        )
 
     # -- host orchestration ----------------------------------------------
 
@@ -232,7 +264,14 @@ class Basecaller:
                     labels_to_seq(rev[j, k], reverse=True)
                     for k in range(int(n_wins[j]))
                 ]
-                seq = assemble_fragments(frags)
+                if o.consensus == "device":
+                    from radian_tpu.ops.consensus_device import (
+                        assemble_fragments_device,
+                    )
+
+                    seq = assemble_fragments_device(frags)
+                else:
+                    seq = assemble_fragments(frags)
                 results[i] = seq[::-1]  # 5'→3' like the reference driver
 
     def basecall_directory(

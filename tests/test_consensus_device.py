@@ -1,0 +1,42 @@
+"""Device-side offset-correlation consensus."""
+
+import numpy as np
+
+from radian_tpu.ops.consensus_device import assemble_fragments_device
+
+
+def _overlapping_fragments(rng, n, frag_len=40, stride=15):
+    full = "".join(rng.choice(list("ACGT"), size=stride * n + frag_len))
+    return (
+        full,
+        [full[i * stride : i * stride + frag_len] for i in range(n)],
+        stride,
+    )
+
+
+def test_clean_fragments_reconstruct(rng):
+    full, frags, stride = _overlapping_fragments(rng, 8)
+    out = assemble_fragments_device(frags)
+    expected_len = (len(frags) - 1) * stride + len(frags[-1])
+    assert out == full[:expected_len]
+
+
+def test_single_fragment():
+    assert assemble_fragments_device(["ACGTAC"]) == "ACGTAC"
+    assert assemble_fragments_device([]) == ""
+
+
+def test_noisy_fragments_mostly_match(rng):
+    full, frags, stride = _overlapping_fragments(rng, 10, frag_len=50,
+                                                 stride=20)
+    noisy = []
+    for s in frags:
+        cs = list(s)
+        j = rng.integers(0, len(cs))
+        cs[j] = "ACGT"[(("ACGT".index(cs[j])) + 1) % 4]
+        noisy.append("".join(cs))
+    out = assemble_fragments_device(noisy)
+    expected_len = (len(frags) - 1) * stride + len(frags[-1])
+    truth = full[:expected_len]
+    matches = sum(a == b for a, b in zip(out, truth))
+    assert matches / max(len(truth), 1) > 0.9
