@@ -21,6 +21,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("fast5_dir", help="Directory of single/multi fast5 files.")
     p.add_argument("fasta_dir", help="Directory to output fasta files.")
+    p.add_argument("--local", action="store_true",
+                   help="(reference compat; its TF session setup has no "
+                        "JAX equivalent needed)")
     p.add_argument("--chunk-len", default=1024, type=int)
     p.add_argument("--step-size", default=128, type=int)
     p.add_argument("--batch-size", default=32, type=int,
@@ -52,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="init seed when no --sig-model is given")
     p.add_argument("--shard-reads", action="store_true",
                    help="multi-host: each host basecalls its share of reads")
+    p.add_argument("--streaming", action="store_true",
+                   help="bounded-memory streaming mode: fast5 ingest "
+                        "overlaps compute, fasta flushed in read order")
     return p
 
 
@@ -87,7 +93,8 @@ def main(argv=None) -> None:
 
         basecall_sharded(bc, args.fast5_dir, args.fasta_dir)
     else:
-        bc.basecall_directory(args.fast5_dir, args.fasta_dir)
+        bc.basecall_directory(args.fast5_dir, args.fasta_dir,
+                              streaming=args.streaming)
 
 
 if __name__ == "__main__":

@@ -118,3 +118,31 @@ def sam_accuracy(sam_path, out_tsv_path=None,
     summary["n_reads"] = len(stats)
     summary.update(counters)
     return summary
+
+
+def main(argv=None):
+    """CLI: ``python -m radian_tpu.eval.accuracy ALN_SAM`` — prints the
+    reference-format summary (reference accuracy.py:81-91)."""
+    import sys
+
+    args = argv if argv is not None else sys.argv[1:]
+    sam = args[0]
+    out = sam.replace(".sam", "-pc.tsv")
+    s = sam_accuracy(sam, out)
+    print(f"N unmapped reads: {s.get('unmapped', 0)}")
+    print(f"N reverse strand reads: {s.get('reverse', 0)}")
+    print(f"N secondary reads: {s.get('secondary', 0)}")
+    print(f"N supplementary reads: {s.get('supplementary', 0)}")
+    print(f"N mapped reads: {s.get('n_reads', 0)}")
+    for label, key in (
+        ("Accuracy", "accuracy"), ("Insertions", "p_ins"),
+        ("Deletions", "p_del"), ("Substitutions", "p_sub"),
+        ("Total error", "p_err"),
+    ):
+        if key in s:
+            print(f"{label}\tMEDIAN: {s[key]['median']:.2f}\t"
+                  f"MEAN: {s[key]['mean']:.2f}")
+
+
+if __name__ == "__main__":
+    main()

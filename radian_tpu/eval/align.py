@@ -196,3 +196,25 @@ def evaluate_fasta(fasta_path, ref_tsv_path, out_tsv_path=None) -> dict:
         }
     summary["n_reads"] = len(rows)
     return summary
+
+
+def main(argv=None):
+    """CLI: ``python -m radian_tpu.eval.align FASTA REF_TSV`` — prints the
+    reference-format summary (reference align.py:104-109)."""
+    import sys
+
+    args = argv if argv is not None else sys.argv[1:]
+    fasta, ref = args[0], args[1]
+    out = fasta.replace(".fasta", ".tsv")
+    summary = evaluate_fasta(fasta, ref, out)
+    for label, key in (
+        ("Accuracy", "accuracy"), ("Insertions", "p_ins"),
+        ("Deletions", "p_del"), ("Substitutions", "p_sub"),
+        ("Total error", "p_err"),
+    ):
+        s = summary[key]
+        print(f"{label}\tMEDIAN: {s['median']:.2f}\tMEAN: {s['mean']:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -274,33 +274,93 @@ class Basecaller:
                     seq = assemble_fragments(frags)
                 results[i] = seq[::-1]  # 5'→3' like the reference driver
 
+    def basecall_stream(
+        self,
+        reads: Iterable[Fast5Read],
+        writer: FastaWriter,
+        verbose: bool = True,
+    ) -> tuple[int, int]:
+        """Streaming basecall: bounded memory, fasta flushed in read order.
+
+        Reads are consumed incrementally from ``reads`` (fast5 ingest
+        overlaps device compute via the iterator), grouped into
+        per-bucket batches, dispatched when full, and written out as the
+        in-order prefix completes — the scalable replacement for the
+        reference's read-at-a-time loop (reference basecall.py:70-131).
+        """
+        o = self.options
+        pending: dict[int, list[tuple[int, np.ndarray]]] = {}
+        results: dict[int, str | None] = {}
+        ids: dict[int, str] = {}
+        next_flush = 0
+        n_written = 0
+        n_total = 0
+
+        def run(bucket, items):
+            nonlocal n_written, next_flush
+            idx_list = [i for i, _ in items]
+            sigs = {i: s for i, s in items}
+            out: list[str | None] = [None] * (max(idx_list) + 1)
+            self._run_batch(idx_list, bucket, sigs, out)
+            for i in idx_list:
+                results[i] = out[i]
+            while next_flush in results:
+                seq = results.pop(next_flush)
+                if seq is None:
+                    if verbose:
+                        print(f"{ids[next_flush]} signal issue, "
+                              "skipping this read.")
+                else:
+                    writer.write(ids[next_flush], seq)
+                    n_written += 1
+                ids.pop(next_flush, None)
+                next_flush += 1
+
+        for idx, read in enumerate(reads):
+            n_total += 1
+            ids[idx] = read.read_id
+            b = bucket_length(len(read.signal), o.bucket_quantum)
+            pending.setdefault(b, []).append((idx, read.signal))
+            if len(pending[b]) == o.read_batch:
+                run(b, pending.pop(b))
+        for b in sorted(pending):
+            run(b, pending[b])
+        return n_written, n_total
+
     def basecall_directory(
         self,
         fast5_dir: str | Path,
         fasta_dir: str | Path,
         verbose: bool = True,
         reads: Iterable[Fast5Read] | None = None,
+        streaming: bool = False,
     ) -> int:
         """Basecall every read under ``fast5_dir`` into fasta shards."""
         o = self.options
         if reads is None:
             reads = iter_fast5_dir(fast5_dir)
-        reads = list(reads)
         t0 = time.time()
-        seqs = self.basecall_signals([r.signal for r in reads])
-        n_written = 0
-        with FastaWriter(fasta_dir, o.reads_per_fasta) as w:
-            for read, seq in zip(reads, seqs):
-                if seq is None:
-                    if verbose:
-                        print(f"{read.read_id} signal issue, skipping this read.")
-                    continue
-                w.write(read.read_id, seq)
-                n_written += 1
+        if streaming:
+            with FastaWriter(fasta_dir, o.reads_per_fasta) as w:
+                n_written, n_total = self.basecall_stream(reads, w, verbose)
+        else:
+            reads = list(reads)
+            n_total = len(reads)
+            seqs = self.basecall_signals([r.signal for r in reads])
+            n_written = 0
+            with FastaWriter(fasta_dir, o.reads_per_fasta) as w:
+                for read, seq in zip(reads, seqs):
+                    if seq is None:
+                        if verbose:
+                            print(f"{read.read_id} signal issue, "
+                                  "skipping this read.")
+                        continue
+                    w.write(read.read_id, seq)
+                    n_written += 1
         if verbose:
             dt = time.time() - t0
             print(
-                f"Basecalled {n_written}/{len(reads)} reads in {dt:.2f}s "
+                f"Basecalled {n_written}/{n_total} reads in {dt:.2f}s "
                 f"({n_written / dt:.2f} reads/s)"
             )
         return n_written

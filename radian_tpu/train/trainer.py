@@ -60,7 +60,8 @@ def make_train_step(model, tx, blank_id: int = 4):
             batch["label_length"],
             blank_id=blank_id,
         )
-        return losses.mean()
+        w = batch["weight"]
+        return (losses * w).sum() / jnp.maximum(w.sum(), 1.0)
 
     def train_step(state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
@@ -99,6 +100,7 @@ class Trainer:
             "labels": NamedSharding(self.mesh, P("data", None)),
             "input_length": NamedSharding(self.mesh, P("data")),
             "label_length": NamedSharding(self.mesh, P("data")),
+            "weight": NamedSharding(self.mesh, P("data")),
         }
         train_step, eval_step = make_train_step(
             self.model, self.tx, self.tcfg.blank_id
@@ -188,9 +190,25 @@ class Trainer:
     # -- loops ------------------------------------------------------------
 
     def _put_batch(self, batch: dict):
+        """Shard a host batch; pads to a multiple of the data axis with
+        zero-weight filler rows so short final batches still run."""
+        n = batch["signal"].shape[0]
+        d = self.mesh.shape["data"]
+        pad = -n % d
+        out = {}
+        weight = np.ones(n, np.float32)
+        for k, v in batch.items():
+            v = np.asarray(v)
+            if pad:
+                filler = np.repeat(v[:1], pad, axis=0)
+                v = np.concatenate([v, filler], axis=0)
+            out[k] = v
+        if pad:
+            weight = np.concatenate([weight, np.zeros(pad, np.float32)])
+        out["weight"] = weight
         return {
             k: jax.device_put(jnp.asarray(v), self._batch_shard[k])
-            for k, v in batch.items()
+            for k, v in out.items()
         }
 
     def train_epoch(self, dataset: Iterable[dict], epoch: int) -> float:

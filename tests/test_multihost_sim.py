@@ -60,6 +60,7 @@ for b in batches:
     # each process feeds its slice of the global batch
     per = 8 // n_procs
     local = {k: v[proc_id * per:(proc_id + 1) * per] for k, v in b.items()}
+    local["weight"] = np.ones(per, np.float32)
     gb = {k: jax.make_array_from_process_local_data(
             trainer._batch_shard[k], np.asarray(local[k])) for k in local}
     trainer.state, loss = trainer._train_step(trainer.state, gb)
