@@ -234,6 +234,31 @@ class Trainer:
         self._log("train/epoch_loss", mean, epoch)
         return mean
 
+    def edit_distance_eval(self, dataset: Iterable[dict],
+                           epoch: int | None = None,
+                           tag: str = "val/edit_distance") -> float:
+        """Greedy-decode edit distance on a dataset — the working version
+        of the reference's no-op EditDistanceCallback (train.py:31-46)."""
+        from radian_tpu.ops.greedy import batch_mean_edit_distance
+
+        dists, weights = [], []
+        fwd = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x[..., None])
+        )
+        for batch in dataset:
+            lp = fwd(self.state.params, jnp.asarray(batch["signal"]))
+            dists.append(
+                batch_mean_edit_distance(
+                    lp, batch["labels"], batch["label_length"],
+                    batch.get("input_length"),
+                )
+            )
+            weights.append(batch["signal"].shape[0])
+        mean = float(np.average(dists, weights=weights)) if dists else float("nan")
+        if epoch is not None:
+            self._log(tag, mean, epoch)
+        return mean
+
     def evaluate(self, dataset: Iterable[dict], epoch: int | None = None,
                  tag: str = "val/loss") -> float:
         losses, weights = [], []

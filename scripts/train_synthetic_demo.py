@@ -100,6 +100,11 @@ def main():
         accs.append(st["accuracy"])
     print(f"read identity vs ground truth: median {np.median(accs):.1f}% "
           f"mean {np.mean(accs):.1f}% over {len(accs)} reads")
+
+    from radian_tpu.models.checkpoint import save_params_npz
+
+    save_params_npz(trainer.state.params, out / "demo_params.npz")
+    print(f"saved params to {out / 'demo_params.npz'}")
     return float(np.median(accs))
 
 

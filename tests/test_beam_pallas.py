@@ -23,7 +23,7 @@ def test_kernel_matches_scan_decoder(rng, peaked):
     lengths = np.asarray([t, t // 2, 37, 1], np.int32)
 
     rev_k, nlab_k, score_k = beam_search_pallas(
-        mats, lengths, beam_width=6, interpret=True
+        mats, lengths, beam_width=6, interpret=True, unroll=1
     )
     rev_s, nlab_s, score_s = beam_search_batch(
         mats, lengths, beam_width=6, lm_enabled=False
@@ -45,7 +45,7 @@ def test_kernel_matches_reference_oracle(rng):
     mats = rng.dirichlet(np.ones(5), size=(n, t)).astype(np.float32)
     lengths = np.full(n, t, np.int32)
     rev_k, _, _ = beam_search_pallas(mats, lengths, beam_width=6,
-                                     interpret=True)
+                                     interpret=True, unroll=1)
     got = _decode_strings(np.asarray(rev_k), n)
     for i in range(n):
         want = ref.beam_search(
@@ -61,7 +61,7 @@ def test_kernel_multichunk(rng):
     mats = rng.dirichlet(np.full(5, 0.3), size=(n, t)).astype(np.float32)
     lengths = np.asarray([600, 300], np.int32)
     rev_k, nlab_k, _ = beam_search_pallas(mats, lengths, beam_width=6,
-                                          interpret=True)
+                                          interpret=True, unroll=1)
     rev_s, nlab_s, _ = beam_search_batch(mats, lengths, beam_width=6)
     assert _decode_strings(np.asarray(rev_k), n) == _decode_strings(
         np.asarray(rev_s), n
