@@ -45,7 +45,8 @@ from radian_tpu.ops.beam_search import _backtrace
 LANES = 128
 WSUB = 8  # beam-state sublanes (beam_width <= 8)
 CHUNK = 256  # timesteps per HBM->VMEM transfer
-UNROLL = 8  # timesteps per inner-loop iteration
+UNROLL = 2  # timesteps per inner-loop iteration (Mosaic
+            # compile time grows superlinearly with body size)
 # python scalars (weak-typed literals): jnp constants would be captured
 # as pallas kernel inputs
 NEG = -1e30

@@ -17,11 +17,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
-if os.environ.get("JAX_PLATFORMS") == "axon":
-    pass  # run on the TPU if available
-else:
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 import numpy as np
 
 
@@ -35,6 +30,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    if os.environ.get("RADIAN_DEMO_TPU") != "1":
+        # run on CPU unless explicitly asked; the env pins JAX_PLATFORMS=axon
+        jax.config.update("jax_platforms", "cpu")
 
     from radian_tpu.config import default_config
     from radian_tpu.eval.align import read_identity
