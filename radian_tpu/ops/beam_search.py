@@ -70,6 +70,11 @@ class BeamState(NamedTuple):
     h1: jnp.ndarray  # [W] rolling hash 1 of full labeling
     h2: jnp.ndarray  # [W] rolling hash 2
     valid: jnp.ndarray  # [W] slot holds a live beam
+    # cached LM table rows for ctx_full / ctx_prev ([W, 5] probs+entropy):
+    # contexts only change on extension, so carrying the rows means one
+    # W-row HBM gather per step (for the extended beams) instead of 2W
+    lm_full: jnp.ndarray
+    lm_prev: jnp.ndarray
 
 
 def _init_state(beam_width: int) -> BeamState:
@@ -86,6 +91,8 @@ def _init_state(beam_width: int) -> BeamState:
         h1=jnp.ones((w,), jnp.uint32),
         h2=jnp.ones((w,), jnp.uint32),
         valid=jnp.zeros((w,), bool).at[0].set(True),
+        lm_full=jnp.zeros((w, N_BASES + 1), jnp.float32),
+        lm_prev=jnp.zeros((w, N_BASES + 1), jnp.float32),
     )
 
 
@@ -120,10 +127,9 @@ def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
     if lm_enabled:
         s_sum = m4.sum()
         s_base = jnp.where(s_sum > 0, m4 / s_sum, 0.0)
-        # one fused gather: rows [2W, 5] = next-base probs + entropy for
-        # both contexts of every beam (halves the per-step HBM gathers)
-        rows = lm_table[jnp.concatenate([state.ctx_prev, state.ctx_full])]
-        rows_c, rows_e = rows[:w], rows[w:]
+        # cached rows: the LM table was last consulted when each beam's
+        # context last changed (its latest extension)
+        rows_c, rows_e = state.lm_prev, state.lm_full
         dist_c = _fused_dist(
             m4, s_base, s_sum, rows_c[:, :N_BASES], rows_c[:, N_BASES],
             s_ent, state.length >= ctx_len + 1, s_thr, r_thr,
@@ -229,16 +235,29 @@ def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
     append = cand_append[top_idx]
     is_ext = append >= 0
 
+    new_ctx_full = jnp.where(
+        is_ext, (state.ctx_full[parent] * N_BASES + append) % ctx_mod,
+        state.ctx_full[parent],
+    )
+    if lm_enabled:
+        # one W-row gather for the extended beams; copies inherit rows
+        fresh = lm_table[jnp.where(is_ext, new_ctx_full, 0)]
+        parent_full = state.lm_full[parent]
+        new_lm_full = jnp.where(is_ext[:, None], fresh, parent_full)
+        new_lm_prev = jnp.where(
+            is_ext[:, None], parent_full, state.lm_prev[parent]
+        )
+    else:
+        new_lm_full = state.lm_full
+        new_lm_prev = state.lm_prev
+
     new = BeamState(
         pr_b=cand_pr_b[top_idx],
         pr_nb=cand_pr_nb[top_idx],
         pr_t=top_vals,
         last=jnp.where(is_ext, append, state.last[parent]),
         length=state.length[parent] + is_ext.astype(jnp.int32),
-        ctx_full=jnp.where(
-            is_ext, (state.ctx_full[parent] * N_BASES + append) % ctx_mod,
-            state.ctx_full[parent],
-        ),
+        ctx_full=new_ctx_full,
         ctx_prev=jnp.where(
             is_ext, state.ctx_full[parent], state.ctx_prev[parent]
         ),
@@ -253,6 +272,8 @@ def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
             state.h2[parent],
         ),
         valid=top_vals > NEG_INF,
+        lm_full=new_lm_full,
+        lm_prev=new_lm_prev,
     )
 
     # Masked (padded) timesteps leave the state untouched and emit
