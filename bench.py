@@ -55,10 +55,13 @@ def main():
                           concentration=0.2),
         11,
     )
+    # single length bucket (16384 covers all reads) -> one prep + one
+    # decode program to compile; axon remote compiles are slow and the
+    # persistent cache rarely hits across processes
     bc = Basecaller(
         params,
         lm=lm,
-        options=BasecallOptions(read_batch=8),
+        options=BasecallOptions(read_batch=8, bucket_quantum=16384),
     )
 
     # warmup: compile each bucket program
