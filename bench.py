@@ -61,7 +61,7 @@ def main():
     bc = Basecaller(
         params,
         lm=lm,
-        options=BasecallOptions(read_batch=8, bucket_quantum=16384),
+        options=BasecallOptions(read_batch=40, bucket_quantum=16384),
     )
 
     # warmup: compile each bucket program
