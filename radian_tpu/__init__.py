@@ -19,3 +19,10 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+
+def load_basecaller(*args, **kwargs):
+    """Convenience re-export of :func:`radian_tpu.pipeline.load_basecaller`."""
+    from radian_tpu.pipeline import load_basecaller as _lb
+
+    return _lb(*args, **kwargs)
