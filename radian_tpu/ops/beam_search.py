@@ -144,18 +144,29 @@ def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
     log_dist_c = jnp.log(dist_c)
     log_dist_e = jnp.log(dist_e)
 
+    # NOTE on indexing style: every small gather in this step (indexing a
+    # [W]- or [5W]-sized axis by a data-dependent index) is written as an
+    # exact one-hot masked sum/max instead of `x[idx]`.  XLA lowers tiny
+    # dynamic gathers inside a while loop to ~10-17 us serialized gather
+    # fusions each — profiled at ~90% of decode wall time — while the
+    # one-hot forms fuse into the surrounding elementwise work.  Masked
+    # sums with exactly one selected element are bit-exact (adding zeros).
+    cvec = jnp.arange(N_BASES, dtype=jnp.int32)
+
     # COPY candidates (one per beam).
-    last_safe = jnp.clip(state.last, 0, N_BASES - 1)
+    sel_last = jnp.sum(
+        jnp.where(state.last[:, None] == cvec[None, :], log_dist_c, 0.0),
+        axis=-1,
+    )  # log_dist_c[w, last[w]]; rows with last == -1 are masked out below
     pr_nb_c = jnp.where(
         state.length > 0,
-        state.pr_nb + log_dist_c[jnp.arange(w), last_safe],
+        state.pr_nb + sel_last,
         NEG_INF,
     )
     pr_b_c = state.pr_t + blank_lp
     pr_t_c = jnp.logaddexp(pr_b_c, pr_nb_c)
 
     # EXTEND candidates (four per beam).
-    cvec = jnp.arange(N_BASES, dtype=jnp.int32)
     repeat = state.last[:, None] == cvec[None, :]
     base_lp = jnp.where(repeat, state.pr_b[:, None], state.pr_t[:, None])
     pr_nb_e = base_lp + log_dist_e  # [W, 4]
@@ -171,13 +182,16 @@ def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
         & (state.h2[None, None, :] == h2_ext[:, :, None])
     )  # [b1, c, b2]
     ext_has_match = match.any(-1)  # [W, 4]
-    ext_match_idx = jnp.argmax(match, -1)  # [W, 4] copy beam it merges with
 
     # Insertion-order slot of each candidate (reference iterates
-    # copy(b), extend(b, 0..3) per beam in rank order).
+    # copy(b), extend(b, 0..3) per beam in rank order).  At most one b2
+    # matches any (b1, c), so "the matched copy's slot is later" reduces
+    # to an any() over the match mask.
     slot_copy = 5 * jnp.arange(w)  # [W]
     slot_ext = 5 * jnp.arange(w)[:, None] + 1 + cvec[None, :]  # [W, 4]
-    ext_wins = slot_ext < slot_copy[ext_match_idx]  # earlier slot carries mass
+    ext_wins = (
+        match & (slot_ext[:, :, None] < slot_copy[None, None, :])
+    ).any(-1)  # earlier slot carries mass
 
     # Contribution of merged extends into each copy slot.
     contrib = jnp.where(
@@ -195,9 +209,10 @@ def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
     )
 
     ext_killed = ext_has_match & ~ext_wins
-    copy_nb_in = pr_nb_c[ext_match_idx]  # [W, 4]
-    copy_b_in = pr_b_c[ext_match_idx]
-    copy_t_in = pr_t_c[ext_match_idx]
+    # value of the (unique) matched copy candidate, as a masked max
+    copy_nb_in = jnp.where(match, pr_nb_c[None, None, :], NEG_INF).max(-1)
+    copy_b_in = jnp.where(match, pr_b_c[None, None, :], NEG_INF).max(-1)
+    copy_t_in = jnp.where(match, pr_t_c[None, None, :], NEG_INF).max(-1)
     absorb = ext_has_match & ext_wins
     m_pr_nb_e = jnp.where(
         ext_killed,
@@ -221,55 +236,59 @@ def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
     cand_pr_b = interleave(m_pr_b_c, m_pr_b_e)
     cand_pr_nb = interleave(m_pr_nb_c, m_pr_nb_e)
     cand_pr_t = interleave(m_pr_t_c, m_pr_t_e)
-    cand_parent = interleave(
-        jnp.arange(w), jnp.broadcast_to(jnp.arange(w)[:, None], (w, N_BASES)),
-        jnp.int32,
-    )
-    cand_append = interleave(
-        jnp.full((w,), -1), jnp.broadcast_to(cvec[None, :], (w, N_BASES)),
-        jnp.int32,
-    )
 
     top_vals, top_idx = jax.lax.top_k(cand_pr_t, w)
-    parent = cand_parent[top_idx]
-    append = cand_append[top_idx]
+    # slot layout 5b + col makes parent/append pure arithmetic
+    parent = top_idx // 5
+    append = top_idx % 5 - 1
     is_ext = append >= 0
 
+    # one-hot extraction of the selected candidates / parent state rows
+    sel30 = top_idx[:, None] == jnp.arange(5 * w)[None, :]  # [W, 5W]
+    selw = parent[:, None] == jnp.arange(w)[None, :]  # [W, W]
+
+    def take30(x):
+        return jnp.sum(jnp.where(sel30, x[None, :], x.dtype.type(0)), -1)
+
+    def from_parent(x):
+        if x.ndim == 1:
+            return jnp.sum(jnp.where(selw, x[None, :], x.dtype.type(0)), -1)
+        return jnp.sum(
+            jnp.where(selw[:, :, None], x[None, :, :], x.dtype.type(0)), 1
+        )
+
+    p_ctx_full = from_parent(state.ctx_full)
     new_ctx_full = jnp.where(
-        is_ext, (state.ctx_full[parent] * N_BASES + append) % ctx_mod,
-        state.ctx_full[parent],
+        is_ext, (p_ctx_full * N_BASES + append) % ctx_mod, p_ctx_full
     )
     if lm_enabled:
-        # one W-row gather for the extended beams; copies inherit rows
+        # one W-row gather for the extended beams; copies inherit rows.
+        # This is the single true gather kept per step (4^ctx-row table).
         fresh = lm_table[jnp.where(is_ext, new_ctx_full, 0)]
-        parent_full = state.lm_full[parent]
+        parent_full = from_parent(state.lm_full)
         new_lm_full = jnp.where(is_ext[:, None], fresh, parent_full)
         new_lm_prev = jnp.where(
-            is_ext[:, None], parent_full, state.lm_prev[parent]
+            is_ext[:, None], parent_full, from_parent(state.lm_prev)
         )
     else:
         new_lm_full = state.lm_full
         new_lm_prev = state.lm_prev
 
+    p_h1 = from_parent(state.h1)
+    p_h2 = from_parent(state.h2)
     new = BeamState(
-        pr_b=cand_pr_b[top_idx],
-        pr_nb=cand_pr_nb[top_idx],
+        pr_b=take30(cand_pr_b),
+        pr_nb=take30(cand_pr_nb),
         pr_t=top_vals,
-        last=jnp.where(is_ext, append, state.last[parent]),
-        length=state.length[parent] + is_ext.astype(jnp.int32),
+        last=jnp.where(is_ext, append, from_parent(state.last)),
+        length=from_parent(state.length) + is_ext.astype(jnp.int32),
         ctx_full=new_ctx_full,
-        ctx_prev=jnp.where(
-            is_ext, state.ctx_full[parent], state.ctx_prev[parent]
-        ),
+        ctx_prev=jnp.where(is_ext, p_ctx_full, from_parent(state.ctx_prev)),
         h1=jnp.where(
-            is_ext,
-            state.h1[parent] * _H1_MULT + (append + 1).astype(jnp.uint32),
-            state.h1[parent],
+            is_ext, p_h1 * _H1_MULT + (append + 1).astype(jnp.uint32), p_h1
         ),
         h2=jnp.where(
-            is_ext,
-            state.h2[parent] * _H2_MULT + (append + 1).astype(jnp.uint32),
-            state.h2[parent],
+            is_ext, p_h2 * _H2_MULT + (append + 1).astype(jnp.uint32), p_h2
         ),
         valid=top_vals > NEG_INF,
         lm_full=new_lm_full,
@@ -292,11 +311,14 @@ def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
 
 def _backtrace(parents, appends):
     """Walk the best beam backward; emit bases in reversed (5'→3') order."""
+    w = parents.shape[-1]
+    wvec = jnp.arange(w, dtype=jnp.int32)
 
     def step(beam, xs):
         parent_t, append_t = xs
-        label = append_t[beam]
-        return parent_t[beam], label
+        onehot = beam == wvec  # scalar [W] one-hot; avoids gather ops
+        label = jnp.sum(jnp.where(onehot, append_t, 0))
+        return jnp.sum(jnp.where(onehot, parent_t, 0)), label
 
     _, rev_labels = jax.lax.scan(
         step, jnp.int32(0), (parents, appends), reverse=True
@@ -306,7 +328,7 @@ def _backtrace(parents, appends):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("beam_width", "ctx_len", "lm_enabled"),
+    static_argnames=("beam_width", "ctx_len", "lm_enabled", "unroll"),
 )
 def beam_search_batch(
     mats,
@@ -319,6 +341,7 @@ def beam_search_batch(
     r_threshold: float = 0.5,
     ctx_len: int = 11,
     lm_enabled: bool = False,
+    unroll: int = 4,
 ):
     """Batched beam search over ``[N, T, 5]`` probability matrices.
 
@@ -359,7 +382,8 @@ def beam_search_batch(
     def one(mat, s_ent, length):
         active = t_idx < length
         final, (parents, appends) = jax.lax.scan(
-            step, _init_state(beam_width), (mat, s_ent, active), unroll=4
+            step, _init_state(beam_width), (mat, s_ent, active),
+            unroll=unroll,
         )
         rev = _backtrace(parents, appends)
         return rev, final.length[0], final.pr_t[0]
