@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "stitch; 'mean' is a corrected true average")
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                    default="float32")
+    p.add_argument("--prep-mode", choices=["auto", "strips", "windows"],
+                   default="auto",
+                   help="'strips' = fast global-mode forward computing "
+                        "only each window's kept output slab; 'auto' "
+                        "uses it whenever valid")
     p.add_argument("--seed", default=0, type=int,
                    help="init seed when no --sig-model is given")
     p.add_argument("--shard-reads", action="store_true",
@@ -77,6 +82,7 @@ def main(argv=None) -> None:
         context_len=args.context_len,
         assembly_mode=args.assembly_mode,
         read_batch=args.read_batch,
+        prep_mode=args.prep_mode,
     )
     bc = load_basecaller(
         checkpoint=args.sig_model,

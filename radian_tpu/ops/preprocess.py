@@ -128,6 +128,62 @@ def window_signal(signal, length, window_size: int, step_size: int, max_windows:
     return windows, n_windows, pad_end
 
 
+@functools.partial(
+    jax.jit, static_argnames=("step_size", "ctx", "n_strips")
+)
+def strip_signal(signal, length, step_size: int, ctx: int, n_strips: int):
+    """Uniform strip view of a normalised signal for the fast forward path.
+
+    Strip ``j`` covers absolute positions ``[j*step - ctx, j*step + step)``
+    (out-of-range positions zeroed), so a causal conv over the strip
+    reproduces — exactly — the reference window conv's values at output
+    positions ``[j*step, (j+1)*step)`` provided ``ctx >= receptive_field-1``
+    (in-window history is identical; positions < 0 are zero in both).  The
+    caller keeps each strip's last ``step`` outputs and concatenates: that
+    IS the global-mode "first"-assembled matrix (see ops/assembly.py and
+    reference radian/matrix_assembly.py:46-53), because the earliest window
+    covering timestep t supplies offset ``window-step + t%step`` for
+    t >= window and offset t (window 0) below — both reduce to "the model's
+    causal output at absolute position t with zero history before 0".
+    """
+    strip_len = ctx + step_size
+    starts = jnp.arange(n_strips, dtype=jnp.int32) * step_size - ctx
+    idx = starts[:, None] + jnp.arange(strip_len, dtype=jnp.int32)[None, :]
+    ok = (idx >= 0) & (idx < length)
+    gathered = signal[jnp.clip(idx, 0, signal.shape[0] - 1)]
+    return jnp.where(ok, gathered, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "window_size", "step_size", "ctx", "n_strips", "outlier_clip"
+    ),
+)
+def preprocess_read_strips(
+    signal,
+    length,
+    window_size: int = 1024,
+    step_size: int = 128,
+    ctx: int = 256,
+    n_strips: int = 1,
+    outlier_clip: float = 4.0,
+):
+    """Fused normalise + strip windowing (fast global-mode forward).
+
+    Returns ``(strips [n_strips, ctx+step], n_windows, pad_end, mad)`` —
+    ``n_windows``/``pad_end`` follow the reference window accounting
+    (preprocess.py:4-22) and are needed for trim/renormalise downstream.
+    """
+    norm, mad = mad_normalise(signal, length, outlier_clip=outlier_clip)
+    n_full = jnp.maximum((length - window_size) // step_size + 1, 0)
+    n_windows = n_full + 1
+    tail_start = n_full * step_size
+    pad_end = window_size - (length - tail_start)
+    strips = strip_signal(norm, length, step_size, ctx, n_strips)
+    return strips, n_windows, pad_end, mad
+
+
 def bucket_length(length: int, quantum: int = 4096) -> int:
     """Round a read length up to the bucket used for jit shape caching."""
     return max(((length + quantum - 1) // quantum) * quantum, quantum)

@@ -40,6 +40,7 @@ from radian_tpu.ops.preprocess import (
     bucket_length,
     max_windows_for,
     preprocess_read,
+    preprocess_read_strips,
 )
 
 
@@ -64,6 +65,11 @@ class BasecallOptions:
     # chunk-mode consensus: 'reference' = host difflib (parity),
     # 'device' = jitted offset-correlation stitcher
     consensus: str = "reference"
+    # global+'first' forward: 'strips' computes only each window's kept
+    # step-wide output slab (+ receptive-field warm-up context) — ~2.7x
+    # fewer conv FLOPs, same values; 'windows' is the full-window path
+    # (required for mode='mean' and chunk decode, where it always applies)
+    prep_mode: str = "auto"  # 'auto' | 'strips' | 'windows'
 
 
 def _prep_and_model(
@@ -84,6 +90,74 @@ def _prep_and_model(
         {"params": params}, windows.reshape(n * w, t, 1), probs=True
     ).reshape(n, w, t, -1)
     return probs, n_wins, pad_ends, mads
+
+
+def _prep_model_assemble_strips(
+    params, signals, lengths, *, model: SigToSeq, opts: BasecallOptions,
+    ctx: int, n_strips: int,
+):
+    """[N, L] padded signals → "first"-assembled matrices [N, L, 5].
+
+    The fast global-mode forward: the model runs on uniform
+    ``[ctx+step]``-sample strips and only each strip's last ``step``
+    outputs are kept — exactly the rows "first" assembly would select
+    from full overlapped windows (see ops/preprocess.py: strip_signal),
+    at ~window/(ctx+step) of the conv FLOPs.
+    """
+    o = opts
+    window, step = o.chunk_len, o.step_size
+
+    def one(sig, n):
+        return preprocess_read_strips(
+            sig, n, window, step, ctx, n_strips, o.outlier_clip
+        )
+
+    strips, n_wins, pad_ends, mads = jax.vmap(one)(signals, lengths)
+    n, s, l = strips.shape
+    probs = model.apply(
+        {"params": params}, strips.reshape(n * s, l, 1), probs=True
+    )[:, ctx:, :]
+    c = probs.shape[-1]
+    mats = probs.reshape(n, s * step, c)
+
+    # Reference renormalisation: rows covered by >1 window are L1-scaled
+    # (matrix_assembly.py:46-53); rows past the read end are zeroed.
+    out_len = s * step
+    t = jnp.arange(out_len, dtype=jnp.int32)[None, :]
+    nw = n_wins[:, None]
+    t_reads = (n_wins - 1) * step + window - pad_ends
+    i0 = jnp.clip((t - window) // step + 1, 0, nw - 1)
+    i_hi = jnp.minimum(t // step, nw - 1)
+    count = i_hi - i0 + 1
+    ssum = mats.sum(-1, keepdims=True)
+    mats = jnp.where((count[..., None] > 1) & (ssum > 0), mats / ssum, mats)
+    mats = jnp.where((t < t_reads[:, None])[..., None], mats, 0.0)
+    return mats, t_reads, mads
+
+
+def _decode_assembled(
+    mats, t_reads, lm_probs, lm_ent,
+    *, opts: BasecallOptions, lm_enabled: bool, use_pallas: bool = False,
+):
+    if use_pallas and not lm_enabled:
+        from radian_tpu.ops.beam_pallas import beam_search_pallas
+
+        rev, n_lab, _ = beam_search_pallas(
+            mats, t_reads, beam_width=opts.beam_width
+        )
+    else:
+        rev, n_lab, _ = beam_search_batch(
+            mats,
+            t_reads,
+            beam_width=opts.beam_width,
+            lm_probs=lm_probs,
+            lm_ent=lm_ent,
+            s_threshold=opts.sig_threshold,
+            r_threshold=opts.rna_threshold,
+            ctx_len=opts.context_len,
+            lm_enabled=lm_enabled,
+        )
+    return rev, n_lab
 
 
 def _assemble_and_decode(
@@ -190,6 +264,39 @@ class Basecaller:
             functools.partial(_prep_and_model, model=self.model, opts=o),
             static_argnames=("max_windows",),
         )
+        # Strip fast path: valid whenever windows tile on the step grid
+        # and a window holds a full receptive field of history before its
+        # kept slab (defaults: 1024-128 >= 253-1).
+        m = self.model
+        rf = 1 + 2 * (m.kernel_size - 1) * m.nb_stacks * sum(m.dilations)
+        strip_len = -(-(rf - 1 + o.step_size) // 128) * 128
+        self._strip_ctx = strip_len - o.step_size
+        self.use_strips = (
+            o.prep_mode in ("auto", "strips")
+            and o.decode_type == "global"
+            and o.assembly_mode == "first"
+            and o.chunk_len % o.step_size == 0
+            and o.chunk_len - o.step_size >= self._strip_ctx
+        )
+        if o.prep_mode == "strips" and not self.use_strips:
+            raise ValueError(
+                "prep_mode='strips' requires global decode, 'first' "
+                "assembly, step | window, and window-step >= ctx "
+                f"({self._strip_ctx})"
+            )
+        self._prep_strips = jax.jit(
+            functools.partial(
+                _prep_model_assemble_strips, model=self.model, opts=o,
+                ctx=self._strip_ctx,
+            ),
+            static_argnames=("n_strips",),
+        )
+        self._decode_assembled = jax.jit(
+            functools.partial(
+                _decode_assembled, opts=o, lm_enabled=lm is not None,
+                use_pallas=use_pallas,
+            )
+        )
         self._global_decode = jax.jit(
             functools.partial(
                 _assemble_and_decode, opts=o, lm_enabled=lm is not None,
@@ -235,6 +342,22 @@ class Basecaller:
             sig = signals[idxs[j]] if j < real else signals[idxs[0]]
             padded[j, : len(sig)] = sig
             lengths[j] = len(sig)
+        if self.use_strips and o.decode_type == "global":
+            mats, t_reads, mads = self._prep_strips(
+                self.params, jnp.asarray(padded), jnp.asarray(lengths),
+                n_strips=bucket // o.step_size,
+            )
+            mads = np.asarray(mads)
+            bad = ~np.isfinite(mads) | (mads == 0)
+            rev, n_lab = self._decode_assembled(
+                mats, t_reads, self._lm_probs, self._lm_ent
+            )
+            rev = np.asarray(rev)
+            for j, i in enumerate(idxs[:real]):
+                if not bad[j]:
+                    results[i] = labels_to_seq(rev[j])  # already 5'→3'
+            return
+
         max_w = max_windows_for(bucket, o.chunk_len, o.step_size)
         probs, n_wins, pad_ends, mads = self._prep(
             self.params, jnp.asarray(padded), jnp.asarray(lengths),

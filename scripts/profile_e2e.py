@@ -66,33 +66,51 @@ def main():
     # a host fetch of a device-reduced scalar is the only real sync
     sum1 = jax.jit(lambda x: x.sum())
 
-    def run_prep():
-        out = bc._prep(bc.params, padded, lengths, max_windows=max_w)
-        np.asarray(sum1(out[0]))
-        return out
+    if bc.use_strips:
+        def run_prep():
+            out = bc._prep_strips(bc.params, padded, lengths,
+                                  n_strips=bucket // o.step_size)
+            np.asarray(sum1(out[0]))
+            return out
+    else:
+        def run_prep():
+            out = bc._prep(bc.params, padded, lengths, max_windows=max_w)
+            np.asarray(sum1(out[0]))
+            return out
 
     t0 = time.perf_counter()
-    probs, n_wins, pad_ends, mads = run_prep()
-    print(f"prep+model compile+run: {time.perf_counter()-t0:.1f}s",
-          flush=True)
+    prep_out = run_prep()
+    print(f"prep+model compile+run: {time.perf_counter()-t0:.1f}s "
+          f"(strips={bc.use_strips})", flush=True)
     for _ in range(2):
         t0 = time.perf_counter()
-        probs, n_wins, pad_ends, mads = run_prep()
+        prep_out = run_prep()
         prep_t = time.perf_counter() - t0
     print(f"prep+model steady: {prep_t*1e3:.0f} ms", flush=True)
 
-    def run_dec():
-        out = bc._global_decode(probs, n_wins, pad_ends, bc._lm_probs,
-                                bc._lm_ent, out_len=bucket)
-        np.asarray(sum1(out[1]))
-        return out
+    if bc.use_strips:
+        mats, t_reads, _ = prep_out
+
+        def run_dec():
+            out = bc._decode_assembled(mats, t_reads, bc._lm_probs,
+                                       bc._lm_ent)
+            np.asarray(sum1(out[1]))
+            return out
+    else:
+        probs, n_wins, pad_ends, mads = prep_out
+
+        def run_dec():
+            out = bc._global_decode(probs, n_wins, pad_ends, bc._lm_probs,
+                                    bc._lm_ent, out_len=bucket)
+            np.asarray(sum1(out[1]))
+            return out
 
     t0 = time.perf_counter()
-    rev, n_lab, t_reads = run_dec()
+    run_dec()
     print(f"decode compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
     for _ in range(2):
         t0 = time.perf_counter()
-        rev, n_lab, t_reads = run_dec()
+        run_dec()
         dec_t = time.perf_counter() - t0
     print(f"assemble+decode steady: {dec_t*1e3:.0f} ms "
           f"({dec_t/bucket*1e6:.0f} us/step)", flush=True)
