@@ -20,7 +20,7 @@ from pathlib import Path
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       str(Path("bench_data/.jax_cache").absolute()))
 
-REPLICAS = 8  # 5 reads x 8 = 40 reads per timed run
+REPLICAS = 24  # 5 reads x 24 = 120 reads = 3 pipelined 40-read batches
 
 
 def log(*a):
