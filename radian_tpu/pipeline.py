@@ -38,6 +38,7 @@ from radian_tpu.ops.beam_search import beam_search_batch, labels_to_seq
 from radian_tpu.ops.consensus import assemble_fragments
 from radian_tpu.ops.preprocess import (
     bucket_length,
+    mad_normalise,
     max_windows_for,
     preprocess_read,
     preprocess_read_strips,
@@ -65,11 +66,16 @@ class BasecallOptions:
     # chunk-mode consensus: 'reference' = host difflib (parity),
     # 'device' = jitted offset-correlation stitcher
     consensus: str = "reference"
-    # global+'first' forward: 'strips' computes only each window's kept
-    # step-wide output slab (+ receptive-field warm-up context) — ~2.7x
-    # fewer conv FLOPs, same values; 'windows' is the full-window path
-    # (required for mode='mean' and chunk decode, where it always applies)
-    prep_mode: str = "auto"  # 'auto' | 'strips' | 'windows'
+    # global+'first' forward: 'fullread' runs ONE causal TCN pass over the
+    # whole normalised read — the "first"-assembled matrix row at timestep
+    # t IS the model's causal output at absolute position t (see
+    # ops/preprocess.py: strip_signal), so windowing is skipped entirely
+    # (T conv sample-steps vs ~3T for 'strips' and 8T for 'windows');
+    # 'strips' computes each window's kept step-wide output slab
+    # (+ receptive-field warm-up context); 'windows' is the full-window
+    # path (required for mode='mean' and chunk decode, where it always
+    # applies).  All three produce the same values up to float order.
+    prep_mode: str = "auto"  # 'auto' | 'fullread' | 'strips' | 'windows'
 
 
 def _prep_and_model(
@@ -90,6 +96,60 @@ def _prep_and_model(
         {"params": params}, windows.reshape(n * w, t, 1), probs=True
     ).reshape(n, w, t, -1)
     return probs, n_wins, pad_ends, mads
+
+
+def _first_renorm_trim(mats, n_wins, pad_ends, *, window: int, step: int):
+    """Reference "first"-assembly post-pass on an ``[N, T, 5]`` matrix.
+
+    Rows covered by >1 window are L1-renormalised
+    (reference radian/matrix_assembly.py:46-53) and rows past the read end
+    are zeroed (the tail window's padding is trimmed first, reference
+    basecall.py:96).  Returns ``(mats, t_reads)``.
+    """
+    out_len = mats.shape[1]
+    t = jnp.arange(out_len, dtype=jnp.int32)[None, :]
+    nw = n_wins[:, None]
+    t_reads = (n_wins - 1) * step + window - pad_ends
+    i0 = jnp.clip((t - window) // step + 1, 0, nw - 1)
+    i_hi = jnp.minimum(t // step, nw - 1)
+    count = i_hi - i0 + 1
+    ssum = mats.sum(-1, keepdims=True)
+    mats = jnp.where((count[..., None] > 1) & (ssum > 0), mats / ssum, mats)
+    mats = jnp.where((t < t_reads[:, None])[..., None], mats, 0.0)
+    return mats, t_reads
+
+
+def _prep_model_assemble_fullread(
+    params, signals, lengths, *, model: SigToSeq, opts: BasecallOptions,
+):
+    """[N, L] padded signals → "first"-assembled matrices [N, L, 5].
+
+    The fastest global-mode forward: ONE causal TCN pass over the whole
+    normalised read.  Valid by the same receptive-field argument as the
+    strip path (ops/preprocess.py: strip_signal): every row the "first"
+    assembly keeps is the model's causal output at absolute position t
+    with >= rf-1 samples of in-window history (or window 0's zero
+    history, which coincides with the read's own start), so window
+    boundaries never influence a kept row — the full-read conv computes
+    exactly the same values with no redundancy (T conv sample-steps
+    instead of ~3T strips / 8T windows).
+    """
+    o = opts
+    window, step = o.chunk_len, o.step_size
+
+    def one(sig, n):
+        return mad_normalise(sig, n, outlier_clip=o.outlier_clip)
+
+    norm, mads = jax.vmap(one)(signals, lengths)
+    probs = model.apply({"params": params}, norm[..., None], probs=True)
+    # reference window accounting (preprocess.py:4-22) for trim/renorm
+    n_full = jnp.maximum((lengths - window) // step + 1, 0)
+    n_wins = n_full + 1
+    pad_ends = window - (lengths - n_full * step)
+    mats, t_reads = _first_renorm_trim(
+        probs, n_wins, pad_ends, window=window, step=step
+    )
+    return mats, t_reads, mads
 
 
 def _prep_model_assemble_strips(
@@ -119,19 +179,9 @@ def _prep_model_assemble_strips(
     )[:, ctx:, :]
     c = probs.shape[-1]
     mats = probs.reshape(n, s * step, c)
-
-    # Reference renormalisation: rows covered by >1 window are L1-scaled
-    # (matrix_assembly.py:46-53); rows past the read end are zeroed.
-    out_len = s * step
-    t = jnp.arange(out_len, dtype=jnp.int32)[None, :]
-    nw = n_wins[:, None]
-    t_reads = (n_wins - 1) * step + window - pad_ends
-    i0 = jnp.clip((t - window) // step + 1, 0, nw - 1)
-    i_hi = jnp.minimum(t // step, nw - 1)
-    count = i_hi - i0 + 1
-    ssum = mats.sum(-1, keepdims=True)
-    mats = jnp.where((count[..., None] > 1) & (ssum > 0), mats / ssum, mats)
-    mats = jnp.where((t < t_reads[:, None])[..., None], mats, 0.0)
+    mats, t_reads = _first_renorm_trim(
+        mats, n_wins, pad_ends, window=window, step=step
+    )
     return mats, t_reads, mads
 
 
@@ -265,24 +315,26 @@ class Basecaller:
             functools.partial(_prep_and_model, model=self.model, opts=o),
             static_argnames=("max_windows",),
         )
-        # Strip fast path: valid whenever windows tile on the step grid
-        # and a window holds a full receptive field of history before its
-        # kept slab (defaults: 1024-128 >= 253-1).
+        # Fast global-mode forwards ('fullread' preferred, then 'strips'):
+        # valid whenever windows tile on the step grid and a window holds
+        # a full receptive field of history before its kept slab
+        # (defaults: 1024-128 >= 253-1).
         m = self.model
         rf = 1 + 2 * (m.kernel_size - 1) * m.nb_stacks * sum(m.dilations)
         strip_len = -(-(rf - 1 + o.step_size) // 128) * 128
         self._strip_ctx = strip_len - o.step_size
-        self.use_strips = (
-            o.prep_mode in ("auto", "strips")
-            and o.decode_type == "global"
+        fast_ok = (
+            o.decode_type == "global"
             and o.assembly_mode == "first"
             and o.chunk_len % o.step_size == 0
             and o.chunk_len - o.step_size >= self._strip_ctx
         )
-        if o.prep_mode == "strips" and not self.use_strips:
+        self.use_fullread = o.prep_mode in ("auto", "fullread") and fast_ok
+        self.use_strips = o.prep_mode == "strips" and fast_ok
+        if o.prep_mode in ("strips", "fullread") and not fast_ok:
             raise ValueError(
-                "prep_mode='strips' requires global decode, 'first' "
-                "assembly, step | window, and window-step >= ctx "
+                f"prep_mode={o.prep_mode!r} requires global decode, "
+                "'first' assembly, step | window, and window-step >= ctx "
                 f"({self._strip_ctx})"
             )
         self._prep_strips = jax.jit(
@@ -291,6 +343,11 @@ class Basecaller:
                 ctx=self._strip_ctx,
             ),
             static_argnames=("n_strips",),
+        )
+        self._prep_fullread = jax.jit(
+            functools.partial(
+                _prep_model_assemble_fullread, model=self.model, opts=o,
+            )
         )
         self._decode_assembled = jax.jit(
             functools.partial(
@@ -368,11 +425,17 @@ class Basecaller:
             sig = signals[idxs[j]] if j < real else signals[idxs[0]]
             padded[j, : len(sig)] = sig
             lengths[j] = len(sig)
-        if self.use_strips and o.decode_type == "global":
-            mats, t_reads, mads = self._prep_strips(
-                self.params, jnp.asarray(padded), jnp.asarray(lengths),
-                n_strips=bucket // o.step_size,
-            )
+        if (self.use_fullread or self.use_strips) and \
+                o.decode_type == "global":
+            if self.use_fullread:
+                mats, t_reads, mads = self._prep_fullread(
+                    self.params, jnp.asarray(padded), jnp.asarray(lengths)
+                )
+            else:
+                mats, t_reads, mads = self._prep_strips(
+                    self.params, jnp.asarray(padded), jnp.asarray(lengths),
+                    n_strips=bucket // o.step_size,
+                )
             rev, n_lab = self._decode_assembled(
                 mats, t_reads, self._lm_probs, self._lm_ent
             )

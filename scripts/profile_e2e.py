@@ -26,6 +26,7 @@ def main():
     dtype = jnp.bfloat16 if (len(sys.argv) > 2 and sys.argv[2] == "bf16") \
         else jnp.float32
     replicas = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    prep_mode = sys.argv[4] if len(sys.argv) > 4 else "auto"
     if replicas is None:
         replicas = max(1, read_batch // 5)
     jax.config.update("jax_compilation_cache_dir",
@@ -45,7 +46,8 @@ def main():
                           concentration=0.2), 11)
     bc = Basecaller(params, lm=lm, compute_dtype=dtype,
                     options=BasecallOptions(read_batch=read_batch,
-                                            bucket_quantum=16384))
+                                            bucket_quantum=16384,
+                                            prep_mode=prep_mode))
 
     # build one padded batch directly (same shapes as bench single bucket)
     o = bc.options
@@ -66,7 +68,12 @@ def main():
     # a host fetch of a device-reduced scalar is the only real sync
     sum1 = jax.jit(lambda x: x.sum())
 
-    if bc.use_strips:
+    if bc.use_fullread:
+        def run_prep():
+            out = bc._prep_fullread(bc.params, padded, lengths)
+            np.asarray(sum1(out[0]))
+            return out
+    elif bc.use_strips:
         def run_prep():
             out = bc._prep_strips(bc.params, padded, lengths,
                                   n_strips=bucket // o.step_size)
@@ -81,14 +88,14 @@ def main():
     t0 = time.perf_counter()
     prep_out = run_prep()
     print(f"prep+model compile+run: {time.perf_counter()-t0:.1f}s "
-          f"(strips={bc.use_strips})", flush=True)
+          f"(fullread={bc.use_fullread} strips={bc.use_strips})", flush=True)
     for _ in range(2):
         t0 = time.perf_counter()
         prep_out = run_prep()
         prep_t = time.perf_counter() - t0
     print(f"prep+model steady: {prep_t*1e3:.0f} ms", flush=True)
 
-    if bc.use_strips:
+    if bc.use_fullread or bc.use_strips:
         mats, t_reads, _ = prep_out
 
         def run_dec():

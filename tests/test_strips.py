@@ -67,6 +67,16 @@ def test_strip_matrices_match_window_assembly(params, rng):
         np.asarray(mats_s), np.asarray(mats_w), rtol=0, atol=1e-6
     )
 
+    bc_f = Basecaller(params, options=BasecallOptions(
+        read_batch=len(sigs), prep_mode="fullread"))
+    mats_f, t_f, _ = bc_f._prep_fullread(
+        params, jnp.asarray(padded), jnp.asarray(lengths)
+    )
+    np.testing.assert_array_equal(np.asarray(t_w), np.asarray(t_f))
+    np.testing.assert_allclose(
+        np.asarray(mats_f), np.asarray(mats_w), rtol=0, atol=1e-6
+    )
+
 
 def test_strip_path_decodes_identically(params, rng):
     """End-to-end: basecall_signals output is identical across prep modes."""
@@ -74,21 +84,26 @@ def test_strip_path_decodes_identically(params, rng):
     sigs = _signals(rng, lens)
     sigs.append(np.full(2000, 7.0, np.float32))  # MAD=0 → skip in both
     seqs = {}
-    for mode in ("windows", "strips"):
+    for mode in ("windows", "strips", "fullread"):
         bc = Basecaller(params, options=BasecallOptions(
             read_batch=4, prep_mode=mode))
         seqs[mode] = bc.basecall_signals(sigs)
     assert seqs["windows"] == seqs["strips"]
+    assert seqs["windows"] == seqs["fullread"]
     assert seqs["windows"][-1] is None  # skip propagated
 
 
 def test_strips_rejected_when_invalid(params):
-    with pytest.raises(ValueError):
-        Basecaller(params, options=BasecallOptions(
-            prep_mode="strips", decode_type="chunk"))
-    with pytest.raises(ValueError):
-        Basecaller(params, options=BasecallOptions(
-            prep_mode="strips", assembly_mode="mean"))
+    for mode in ("strips", "fullread"):
+        with pytest.raises(ValueError):
+            Basecaller(params, options=BasecallOptions(
+                prep_mode=mode, decode_type="chunk"))
+        with pytest.raises(ValueError):
+            Basecaller(params, options=BasecallOptions(
+                prep_mode=mode, assembly_mode="mean"))
     # auto falls back silently for chunk decode
     bc = Basecaller(params, options=BasecallOptions(decode_type="chunk"))
-    assert not bc.use_strips
+    assert not bc.use_strips and not bc.use_fullread
+    # auto prefers the fullread forward when valid
+    bc = Basecaller(params, options=BasecallOptions())
+    assert bc.use_fullread and not bc.use_strips
