@@ -1,9 +1,12 @@
 """Benchmark: end-to-end basecalling throughput on the TPU chip.
 
-Workload: the bundled 5-read fast5 replicated to a 40-read batch, global
-decode with 12-mer LM fusion (synthetic LM, deterministic seed — the
-reference's published LM blob is stripped from the snapshot), seed-0
-weights shared with the measured reference baseline.
+Workload: the bundled 5-read fast5 replicated to 1280 reads (five
+pipelined 256-read batches), global decode with 12-mer LM fusion
+(synthetic LM, deterministic seed — the reference's published LM blob is
+stripped from the snapshot), seed-0 weights shared with the measured
+reference baseline.  The forward runs in bfloat16 (the production
+config; f32 reproduces the reference bit-for-bit on CPU, see
+COMPONENTS.md "Known deviations"), the decode in f32.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is the speedup over the reference python pipeline measured on
@@ -20,7 +23,7 @@ from pathlib import Path
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       str(Path("bench_data/.jax_cache").absolute()))
 
-REPLICAS = 24  # 5 reads x 24 = 120 reads = 3 pipelined 40-read batches
+REPLICAS = 256  # 5 reads x 256 = 1280 reads = 5 pipelined 256-read batches
 
 
 def log(*a):
@@ -58,10 +61,13 @@ def main():
     # single length bucket (16384 covers all reads) -> one prep + one
     # decode program to compile; axon remote compiles are slow and the
     # persistent cache rarely hits across processes
+    import jax.numpy as jnp
+
     bc = Basecaller(
         params,
         lm=lm,
-        options=BasecallOptions(read_batch=40, bucket_quantum=16384),
+        compute_dtype=jnp.bfloat16,
+        options=BasecallOptions(read_batch=256, bucket_quantum=16384),
     )
 
     # warmup: compile each bucket program

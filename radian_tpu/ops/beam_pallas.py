@@ -40,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from radian_tpu.ops.beam_search import _backtrace
+from radian_tpu.ops.beam_search import backtrace_batch
 
 LANES = 128
 WSUB = 8  # beam-state sublanes (beam_width <= 8)
@@ -395,10 +395,7 @@ def beam_search_pallas(mats, lengths, *, beam_width: int = 6,
         interpret=interpret,
     )(lengths[None, :], logm)
 
-    # unpack backpointers and backtrace on the XLA side
-    parents = bp // 8  # [T, W, N]
-    appends = bp % 8 - 1
-    parents = jnp.transpose(parents, (2, 0, 1))[:n, :t]  # [N, T, W]
-    appends = jnp.transpose(appends, (2, 0, 1))[:n, :t]
-    rev = jax.vmap(_backtrace)(parents, appends)
-    return rev, nlab[0, :n], score[0, :n]
+    # backtrace on the XLA side; the kernel's packed [T, W, N] emission is
+    # exactly backtrace_batch's batch-minor input format
+    rev = backtrace_batch(bp[:t])  # [t, N]
+    return rev.T[:n], nlab[0, :n], score[0, :n]

@@ -2,7 +2,7 @@
 
 Re-derivation of the reference decoder's semantics (reference
 radian/decode.py:100-211) in a fixed-shape, vectorised form that compiles
-to a single XLA while-loop on TPU and vmaps over a batch of reads/chunks:
+to a single XLA while-loop on TPU over a batch of reads/chunks:
 
 Reference semantics preserved exactly:
 - Per timestep, each surviving beam spawns one COPY candidate (labeling
@@ -28,19 +28,35 @@ Reference semantics preserved exactly:
   answer is the overall argmax.
 - Tie order mirrors the reference's insertion-order-stable sort: the
   candidate array is laid out in reference insertion order
-  (``copy(0), extend(0, A..T), copy(1), ...``) and merged mass is carried
-  by the earlier slot; ``lax.top_k`` picks the earliest slot on ties.
+  (``copy(0), extend(0, A..T), copy(1), ...`` ⇒ slot ``5·beam + col``
+  with the copy in column 0) and merged mass is carried by the earlier
+  slot; selection picks the smallest slot among score ties.
 
 Instead of materialising labelings in the scan state, the scan emits
-per-step backpointers ``(parent beam, appended base | -1)`` and a second,
+per-step packed backpointers ``parent·8 + (append+1)`` and a second,
 reversed scan walks the best beam back — emitting bases in reversed
 order, which is exactly the 5'→3' orientation the fasta output wants
 (reference basecall.py:129 reverses the decoded string).
 
-TPU notes: beam state is a handful of ``[W]`` vectors (W≈6); a batch
-dimension is vmapped outside so the VPU lanes see ``[N, W, ...]`` work.
-LM lookups are two ``[N, W]`` gathers per step from the HBM-resident
-``[4^11, 4]`` probability and ``[4^11]`` entropy tables.
+TPU layout: everything is **batch-minor** — state arrays are ``[W, N]``
+(or ``[5, W, N]``) with the read batch N on the minor axis, NOT a vmap
+over a leading batch axis.  The VPU operates on (8 sublanes × 128 lanes)
+tiles tiled over the two minor dims; a vmapped ``[N, W]`` state puts
+W≈6 on the lane axis, wasting ~95% of every tile and inflating the HBM
+bytes of every fusion boundary by the same factor.  With N minor, all
+per-beam work (merge detection ``[4, W, W, N]``, candidate scoring
+``[5, W, N]``, pruning) packs the lanes densely — the same layout the
+Pallas kernel (ops/beam_pallas.py) uses, here expressed as plain XLA so
+the dynamic LM table gather stays available.
+
+Dead-slot bookkeeping uses a large *finite* sentinel ``NEG = -1e30``
+rather than ``-inf`` so the iterative max-then-min-slot top-k (which
+knocks selected slots down to ``KNOCKED < NEG + log p``) stays totally
+ordered.  Live-path log-probs are bit-identical to the -inf formulation:
+``logaddexp(x, NEG)`` rounds to ``x`` exactly in f32 for any reachable
+``x`` (≫ -1e29), and junk values stay below ``NEG_HALF`` so ``valid``
+never misfires — the same scheme the Pallas kernel uses, string-parity
+validated against the pure-python reference oracle.
 """
 
 from __future__ import annotations
@@ -54,45 +70,54 @@ import numpy as np
 
 N_BASES = 4
 BLANK = 4
-NEG_INF = -jnp.inf
+NEG = -1.0e30  # finite "impossible" log-prob (see module docstring)
+NEG_HALF = -1.0e29  # validity threshold: junk ≈ NEG + log p < this
+SCORE_FLOOR = -1.0e38  # selection clamp: true -inf scores (log of an
+# exact-zero probability) tie here, picked in slot order like top_k
+KNOCKED = -3.0e38  # strictly below every floored score
 _H1_MULT = np.uint32(2654435761)
 _H2_MULT = np.uint32(2246822519)
 
 
 class BeamState(NamedTuple):
-    pr_b: jnp.ndarray  # [W] log P(paths ending in blank)
-    pr_nb: jnp.ndarray  # [W] log P(paths ending in non-blank)
-    pr_t: jnp.ndarray  # [W] log P(total)
-    last: jnp.ndarray  # [W] last emitted base, -1 if empty labeling
-    length: jnp.ndarray  # [W] labeling length
-    ctx_full: jnp.ndarray  # [W] last ctx_len labels, packed base-4
-    ctx_prev: jnp.ndarray  # [W] last ctx_len labels of labeling[:-1]
-    h1: jnp.ndarray  # [W] rolling hash 1 of full labeling
-    h2: jnp.ndarray  # [W] rolling hash 2
-    valid: jnp.ndarray  # [W] slot holds a live beam
-    # cached LM table rows for ctx_full / ctx_prev ([W, 5] probs+entropy):
-    # contexts only change on extension, so carrying the rows means one
-    # W-row HBM gather per step (for the extended beams) instead of 2W
+    """Carried beam state; every array is batch-minor (``N`` last)."""
+
+    pr_b: jnp.ndarray  # [W, N] log P(paths ending in blank)
+    pr_nb: jnp.ndarray  # [W, N] log P(paths ending in non-blank)
+    pr_t: jnp.ndarray  # [W, N] log P(total)
+    last: jnp.ndarray  # [W, N] last emitted base, -1 if empty labeling
+    length: jnp.ndarray  # [W, N] labeling length
+    ctx_full: jnp.ndarray  # [W, N] last ctx_len labels, packed base-4
+    ctx_prev: jnp.ndarray  # [W, N] last ctx_len labels of labeling[:-1]
+    h1: jnp.ndarray  # [W, N] rolling hash 1 of full labeling
+    h2: jnp.ndarray  # [W, N] rolling hash 2
+    valid: jnp.ndarray  # [W, N] slot holds a live beam
+    # cached LM table rows for ctx_full / ctx_prev ([5, W, N]: 4 next-base
+    # probs + entropy): contexts only change on extension, so carrying the
+    # rows means one W·N-row HBM gather per step (for the extended beams)
+    # instead of 2·W·N
     lm_full: jnp.ndarray
     lm_prev: jnp.ndarray
 
 
-def _init_state(beam_width: int) -> BeamState:
+def _init_state(beam_width: int, n: int) -> BeamState:
     w = beam_width
-    neg = jnp.full((w,), NEG_INF, jnp.float32)
+    slot0 = jnp.arange(w)[:, None] == 0  # [W, 1] broadcasts over N
+    neg = jnp.full((w, n), NEG, jnp.float32)
+    zero = jnp.zeros((w, n), jnp.int32)
     return BeamState(
-        pr_b=neg.at[0].set(0.0),
+        pr_b=jnp.where(slot0, 0.0, neg),
         pr_nb=neg,
-        pr_t=neg.at[0].set(0.0),
-        last=jnp.full((w,), -1, jnp.int32),
-        length=jnp.zeros((w,), jnp.int32),
-        ctx_full=jnp.zeros((w,), jnp.int32),
-        ctx_prev=jnp.zeros((w,), jnp.int32),
-        h1=jnp.ones((w,), jnp.uint32),
-        h2=jnp.ones((w,), jnp.uint32),
-        valid=jnp.zeros((w,), bool).at[0].set(True),
-        lm_full=jnp.zeros((w, N_BASES + 1), jnp.float32),
-        lm_prev=jnp.zeros((w, N_BASES + 1), jnp.float32),
+        pr_t=jnp.where(slot0, 0.0, neg),
+        last=jnp.full((w, n), -1, jnp.int32),
+        length=zero,
+        ctx_full=zero,
+        ctx_prev=zero,
+        h1=jnp.ones((w, n), jnp.uint32),
+        h2=jnp.ones((w, n), jnp.uint32),
+        valid=jnp.broadcast_to(slot0, (w, n)),
+        lm_full=jnp.zeros((N_BASES + 1, w, n), jnp.float32),
+        lm_prev=jnp.zeros((N_BASES + 1, w, n), jnp.float32),
     )
 
 
@@ -109,221 +134,266 @@ def signal_entropies(mat: jnp.ndarray) -> jnp.ndarray:
     return -terms.sum(-1)
 
 
+def _entropies_tn(mats_tn: jnp.ndarray) -> jnp.ndarray:
+    """``signal_entropies`` on the transposed ``[T, 5, N]`` layout."""
+    base = mats_tn[:, :N_BASES, :]
+    s = base.sum(1, keepdims=True)
+    p = jnp.where(s > 0, base / s, base)
+    terms = jnp.where(p > 0, p * jnp.log(p), 0.0)
+    return -terms.sum(1, keepdims=True)  # [T, 1, N]
+
+
 def _fused_dist(m4, s_base, s_sum, r_dist, r_ent, s_ent, len_ok, s_thr, r_thr):
     """LM fusion (reference decode.py:52-64,79-96): gated average of LM and
-    renormalised signal base distribution, rescaled by non-blank mass."""
-    fused = (r_dist + s_base[None, :]) * 0.5 * s_sum
+    renormalised signal base distribution, rescaled by non-blank mass.
+
+    Shapes: m4/s_base [4, N], s_sum/s_ent [1, N], r_dist [4, W, N],
+    r_ent/len_ok [W, N] → [4, W, N].
+    """
+    fused = (r_dist + s_base[:, None, :]) * 0.5 * s_sum[:, None, :]
     gate = len_ok & (r_ent < r_thr) & (s_ent > s_thr)
-    return jnp.where(gate[:, None], fused, m4[None, :])
+    return jnp.where(gate[None], fused, m4[:, None, :])
 
 
 def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
           s_thr, r_thr, ctx_len, lm_enabled):
-    m5, s_ent, active = xs
+    m5, s_ent, active = xs  # [5, N], [1, N], [1, N]
     w = beam_width
-    m4 = m5[:N_BASES]
-    blank_lp = jnp.log(m5[BLANK])
+    m4 = m5[:N_BASES]  # [4, N]
+    blank_lp = jnp.log(m5[BLANK : BLANK + 1])  # [1, N]
+    cvec = jnp.arange(N_BASES, dtype=jnp.int32)[:, None, None]  # [4,1,1]
+    w_col = jnp.arange(w, dtype=jnp.int32)[:, None]  # [W, 1]
 
     if lm_enabled:
-        s_sum = m4.sum()
+        s_sum = m4.sum(0, keepdims=True)
         s_base = jnp.where(s_sum > 0, m4 / s_sum, 0.0)
         # cached rows: the LM table was last consulted when each beam's
         # context last changed (its latest extension)
-        rows_c, rows_e = state.lm_prev, state.lm_full
+        rows_c, rows_e = state.lm_prev, state.lm_full  # [5, W, N]
         dist_c = _fused_dist(
-            m4, s_base, s_sum, rows_c[:, :N_BASES], rows_c[:, N_BASES],
+            m4, s_base, s_sum, rows_c[:N_BASES], rows_c[N_BASES],
             s_ent, state.length >= ctx_len + 1, s_thr, r_thr,
         )
         dist_e = _fused_dist(
-            m4, s_base, s_sum, rows_e[:, :N_BASES], rows_e[:, N_BASES],
+            m4, s_base, s_sum, rows_e[:N_BASES], rows_e[N_BASES],
             s_ent, state.length >= ctx_len, s_thr, r_thr,
         )
+        log_dist_c = jnp.log(dist_c)  # [4, W, N]
+        log_dist_e = jnp.log(dist_e)
     else:
-        dist_c = dist_e = jnp.broadcast_to(m4, (w, N_BASES))
-
-    log_dist_c = jnp.log(dist_c)
-    log_dist_e = jnp.log(dist_e)
-
-    # NOTE on indexing style: every small gather in this step (indexing a
-    # [W]- or [5W]-sized axis by a data-dependent index) is written as an
-    # exact one-hot masked sum/max instead of `x[idx]`.  XLA lowers tiny
-    # dynamic gathers inside a while loop to ~10-17 us serialized gather
-    # fusions each — profiled at ~90% of decode wall time — while the
-    # one-hot forms fuse into the surrounding elementwise work.  Masked
-    # sums with exactly one selected element are bit-exact (adding zeros).
-    cvec = jnp.arange(N_BASES, dtype=jnp.int32)
+        log_dist_c = log_dist_e = jnp.log(m4)[:, None, :]  # [4, 1, N]
 
     # COPY candidates (one per beam).
     sel_last = jnp.sum(
-        jnp.where(state.last[:, None] == cvec[None, :], log_dist_c, 0.0),
-        axis=-1,
-    )  # log_dist_c[w, last[w]]; rows with last == -1 are masked out below
-    pr_nb_c = jnp.where(
-        state.length > 0,
-        state.pr_nb + sel_last,
-        NEG_INF,
-    )
+        jnp.where(state.last[None] == cvec, log_dist_c, 0.0), axis=0
+    )  # log_dist_c[last[w]]; rows with last == -1 are masked out below
+    pr_nb_c = jnp.where(state.length > 0, state.pr_nb + sel_last, NEG)
     pr_b_c = state.pr_t + blank_lp
-    pr_t_c = jnp.logaddexp(pr_b_c, pr_nb_c)
+    pr_t_c = jnp.logaddexp(pr_b_c, pr_nb_c)  # [W, N]
 
     # EXTEND candidates (four per beam).
-    repeat = state.last[:, None] == cvec[None, :]
-    base_lp = jnp.where(repeat, state.pr_b[:, None], state.pr_t[:, None])
-    pr_nb_e = base_lp + log_dist_e  # [W, 4]
+    repeat = state.last[None] == cvec  # [4, W, N]
+    base_lp = jnp.where(repeat, state.pr_b[None], state.pr_t[None])
+    pr_nb_e = base_lp + log_dist_e  # [4, W, N]
 
-    # Merge detection: EXTEND(b1, c) vs COPY(b2).
-    h1_ext = state.h1[:, None] * _H1_MULT + (cvec + 1).astype(jnp.uint32)
-    h2_ext = state.h2[:, None] * _H2_MULT + (cvec + 1).astype(jnp.uint32)
+    # Merge detection: EXTEND(b1, c) vs COPY(b2), axes [c, b1, b2, N].
+    cu = (cvec + 1).astype(jnp.uint32)
+    h1_ext = state.h1[None] * _H1_MULT + cu  # [4, W, N]
+    h2_ext = state.h2[None] * _H2_MULT + cu
     match = (
-        state.valid[:, None, None]
-        & state.valid[None, None, :]
-        & (state.length[None, None, :] == state.length[:, None, None] + 1)
-        & (state.h1[None, None, :] == h1_ext[:, :, None])
-        & (state.h2[None, None, :] == h2_ext[:, :, None])
-    )  # [b1, c, b2]
-    ext_has_match = match.any(-1)  # [W, 4]
+        state.valid[None, :, None, :]
+        & state.valid[None, None, :, :]
+        & (state.length[None, None] == state.length[None, :, None] + 1)
+        & (state.h1[None, None] == h1_ext[:, :, None])
+        & (state.h2[None, None] == h2_ext[:, :, None])
+    )  # [4, W, W, N]
+    ext_has_match = match.any(2)  # [4, W, N]
 
     # Insertion-order slot of each candidate (reference iterates
     # copy(b), extend(b, 0..3) per beam in rank order).  At most one b2
     # matches any (b1, c), so "the matched copy's slot is later" reduces
     # to an any() over the match mask.
-    slot_copy = 5 * jnp.arange(w)  # [W]
-    slot_ext = 5 * jnp.arange(w)[:, None] + 1 + cvec[None, :]  # [W, 4]
-    ext_wins = (
-        match & (slot_ext[:, :, None] < slot_copy[None, None, :])
-    ).any(-1)  # earlier slot carries mass
+    slot_ext = 5 * w_col[None] + 1 + cvec  # [4, W, 1]
+    slot_copy_b2 = 5 * jnp.arange(w, dtype=jnp.int32)[None, None, :, None]
+    ext_wins = (match & (slot_ext[:, :, None] < slot_copy_b2)).any(2)
 
     # Contribution of merged extends into each copy slot.
     contrib = jnp.where(
-        match & ~ext_wins[:, :, None], pr_nb_e[:, :, None], NEG_INF
+        match & ~ext_wins[:, :, None], pr_nb_e[:, :, None], NEG
     )
-    copy_extra = contrib.max(axis=(0, 1))  # [W]; ≤1 contributor per copy
-    copy_killed = (match & ext_wins[:, :, None]).any(axis=(0, 1))  # [W]
+    copy_extra = contrib.max(axis=(0, 1))  # [W, N]; ≤1 contributor per copy
+    copy_killed = (match & ext_wins[:, :, None]).any(axis=(0, 1))  # [W, N]
 
     m_pr_nb_c = jnp.where(
-        copy_killed, NEG_INF, jnp.logaddexp(pr_nb_c, copy_extra)
+        copy_killed, NEG, jnp.logaddexp(pr_nb_c, copy_extra)
     )
-    m_pr_b_c = jnp.where(copy_killed, NEG_INF, pr_b_c)
+    m_pr_b_c = jnp.where(copy_killed, NEG, pr_b_c)
     m_pr_t_c = jnp.where(
-        copy_killed, NEG_INF, jnp.logaddexp(pr_t_c, copy_extra)
+        copy_killed, NEG, jnp.logaddexp(pr_t_c, copy_extra)
     )
 
     ext_killed = ext_has_match & ~ext_wins
     # value of the (unique) matched copy candidate, as a masked max
-    copy_nb_in = jnp.where(match, pr_nb_c[None, None, :], NEG_INF).max(-1)
-    copy_b_in = jnp.where(match, pr_b_c[None, None, :], NEG_INF).max(-1)
-    copy_t_in = jnp.where(match, pr_t_c[None, None, :], NEG_INF).max(-1)
+    copy_nb_in = jnp.where(match, pr_nb_c[None, None], NEG).max(2)
+    copy_b_in = jnp.where(match, pr_b_c[None, None], NEG).max(2)
+    copy_t_in = jnp.where(match, pr_t_c[None, None], NEG).max(2)
     absorb = ext_has_match & ext_wins
     m_pr_nb_e = jnp.where(
         ext_killed,
-        NEG_INF,
+        NEG,
         jnp.where(absorb, jnp.logaddexp(pr_nb_e, copy_nb_in), pr_nb_e),
     )
-    m_pr_b_e = jnp.where(absorb, copy_b_in, NEG_INF)
+    m_pr_b_e = jnp.where(absorb, copy_b_in, NEG)
     m_pr_t_e = jnp.where(
         ext_killed,
-        NEG_INF,
+        NEG,
         jnp.where(absorb, jnp.logaddexp(copy_t_in, pr_nb_e), pr_nb_e),
     )
 
-    # Candidate arrays in insertion order: slot 5b = copy(b), 5b+1+c =
-    # ext(b, c) — i.e. rows of [W, 5] with the copy in column 0.
-    def interleave(copy_vals, ext_vals, dtype=jnp.float32):
-        return jnp.concatenate(
-            [copy_vals.astype(dtype)[:, None], ext_vals.astype(dtype)], axis=1
-        ).reshape(5 * w)
+    # Candidate arrays [5, W, N] in insertion order: column 0 = copy(b),
+    # column 1+c = extend(b, c); slot id = 5·b + column.
+    cand_pr_b = jnp.concatenate([m_pr_b_c[None], m_pr_b_e], axis=0)
+    cand_pr_nb = jnp.concatenate([m_pr_nb_c[None], m_pr_nb_e], axis=0)
+    cand_pr_t = jnp.concatenate([m_pr_t_c[None], m_pr_t_e], axis=0)
 
-    cand_pr_b = interleave(m_pr_b_c, m_pr_b_e)
-    cand_pr_nb = interleave(m_pr_nb_c, m_pr_nb_e)
-    cand_pr_t = interleave(m_pr_t_c, m_pr_t_e)
+    col_iota = jnp.arange(5, dtype=jnp.int32)[:, None, None]  # [5,1,1]
+    slot = 5 * w_col[None] + col_iota  # [5, W, 1]
+    big = jnp.int32(2**30)
 
-    top_vals, top_idx = jax.lax.top_k(cand_pr_t, w)
-    # slot layout 5b + col makes parent/append pure arithmetic
-    parent = top_idx // 5
-    append = top_idx % 5 - 1
-    is_ext = append >= 0
+    # Iterative top-(beam_width) selection: max score, then smallest slot
+    # achieving it (== lax.top_k's earliest-index tie rule on the
+    # insertion-order layout), then knock the slot out.  All ops stay
+    # batch-minor; no [N, 30]-layout sort.
+    scores = jnp.maximum(cand_pr_t, SCORE_FLOOR)
+    rows_pb, rows_pnb, rows_pt = [], [], []
+    rows_last, rows_len = [], []
+    rows_ctxf, rows_ctxp = [], []
+    rows_h1, rows_h2 = [], []
+    rows_lmf, rows_lmp = [], []
+    rows_bp, rows_isext = [], []
+    for _ in range(w):
+        m_all = scores.max(axis=(0, 1), keepdims=True)  # [1, 1, N]
+        s_star = jnp.min(
+            jnp.where(scores >= m_all, slot, big), axis=(0, 1)
+        )  # [N]
+        parent = s_star // 5  # [N]
+        append = s_star - 5 * parent - 1  # [N]; -1 = copy
+        is_ext = append >= 0
 
-    # one-hot extraction of the selected candidates / parent state rows
-    sel30 = top_idx[:, None] == jnp.arange(5 * w)[None, :]  # [W, 5W]
-    selw = parent[:, None] == jnp.arange(w)[None, :]  # [W, W]
+        is_sel = slot == s_star[None, None, :]  # [5, W, N]; exactly one
+        is_par = w_col == parent[None, :]  # [W, N]; exactly one row
 
-    def take30(x):
-        return jnp.sum(jnp.where(sel30, x[None, :], x.dtype.type(0)), -1)
+        def take(cand):
+            return jnp.sum(jnp.where(is_sel, cand, 0.0), axis=(0, 1))
 
-    def from_parent(x):
-        if x.ndim == 1:
-            return jnp.sum(jnp.where(selw, x[None, :], x.dtype.type(0)), -1)
-        return jnp.sum(
-            jnp.where(selw[:, :, None], x[None, :, :], x.dtype.type(0)), 1
-        )
+        def from_parent(x):
+            if x.ndim == 2:
+                return jnp.sum(
+                    jnp.where(is_par, x, x.dtype.type(0)), axis=0
+                )
+            return jnp.sum(
+                jnp.where(is_par[None], x, x.dtype.type(0)), axis=1
+            )
 
-    p_ctx_full = from_parent(state.ctx_full)
-    new_ctx_full = jnp.where(
-        is_ext, (p_ctx_full * N_BASES + append) % ctx_mod, p_ctx_full
-    )
+        p_ctx_full = from_parent(state.ctx_full)
+        p_h1 = from_parent(state.h1)
+        p_h2 = from_parent(state.h2)
+        au = (append + 1).astype(jnp.uint32)
+
+        rows_pb.append(take(cand_pr_b))
+        rows_pnb.append(take(cand_pr_nb))
+        rows_pt.append(take(cand_pr_t))
+        rows_last.append(jnp.where(is_ext, append, from_parent(state.last)))
+        rows_len.append(from_parent(state.length) + is_ext.astype(jnp.int32))
+        rows_ctxf.append(jnp.where(
+            is_ext, (p_ctx_full * N_BASES + append) % ctx_mod, p_ctx_full
+        ))
+        rows_ctxp.append(jnp.where(
+            is_ext, p_ctx_full, from_parent(state.ctx_prev)
+        ))
+        rows_h1.append(jnp.where(is_ext, p_h1 * _H1_MULT + au, p_h1))
+        rows_h2.append(jnp.where(is_ext, p_h2 * _H2_MULT + au, p_h2))
+        rows_lmf.append(from_parent(state.lm_full))  # parent rows; fresh
+        rows_lmp.append(from_parent(state.lm_prev))  # gather happens below
+        rows_bp.append(parent * 8 + append + 1)
+        rows_isext.append(is_ext)
+
+        scores = jnp.where(is_sel, KNOCKED, scores)
+
+    new_pr_t = jnp.stack(rows_pt)  # [W, N]
+    new_last = jnp.stack(rows_last)
+    new_ctx_full = jnp.stack(rows_ctxf)
+    is_ext_all = jnp.stack(rows_isext)  # [W, N]
+
     if lm_enabled:
-        # one W-row gather for the extended beams; copies inherit rows.
+        # one W·N-row gather for the extended beams; copies inherit rows.
         # This is the single true gather kept per step (4^ctx-row table).
-        fresh = lm_table[jnp.where(is_ext, new_ctx_full, 0)]
-        parent_full = from_parent(state.lm_full)
-        new_lm_full = jnp.where(is_ext[:, None], fresh, parent_full)
+        idx = jnp.where(is_ext_all, new_ctx_full, 0)
+        fresh = lm_table[idx]  # [W, N, 5]
+        fresh = jnp.moveaxis(fresh, -1, 0)  # [5, W, N]
+        parent_full = jnp.stack(rows_lmf, axis=1)  # [5, W, N]
+        new_lm_full = jnp.where(is_ext_all[None], fresh, parent_full)
         new_lm_prev = jnp.where(
-            is_ext[:, None], parent_full, from_parent(state.lm_prev)
+            is_ext_all[None], parent_full, jnp.stack(rows_lmp, axis=1)
         )
     else:
         new_lm_full = state.lm_full
         new_lm_prev = state.lm_prev
 
-    p_h1 = from_parent(state.h1)
-    p_h2 = from_parent(state.h2)
     new = BeamState(
-        pr_b=take30(cand_pr_b),
-        pr_nb=take30(cand_pr_nb),
-        pr_t=top_vals,
-        last=jnp.where(is_ext, append, from_parent(state.last)),
-        length=from_parent(state.length) + is_ext.astype(jnp.int32),
+        pr_b=jnp.stack(rows_pb),
+        pr_nb=jnp.stack(rows_pnb),
+        pr_t=new_pr_t,
+        last=new_last,
+        length=jnp.stack(rows_len),
         ctx_full=new_ctx_full,
-        ctx_prev=jnp.where(is_ext, p_ctx_full, from_parent(state.ctx_prev)),
-        h1=jnp.where(
-            is_ext, p_h1 * _H1_MULT + (append + 1).astype(jnp.uint32), p_h1
-        ),
-        h2=jnp.where(
-            is_ext, p_h2 * _H2_MULT + (append + 1).astype(jnp.uint32), p_h2
-        ),
-        valid=top_vals > NEG_INF,
+        ctx_prev=jnp.stack(rows_ctxp),
+        h1=jnp.stack(rows_h1),
+        h2=jnp.stack(rows_h2),
+        valid=new_pr_t > NEG_HALF,
         lm_full=new_lm_full,
         lm_prev=new_lm_prev,
     )
 
     # Masked (padded) timesteps leave the state untouched and emit
-    # identity backpointers.
-    ident_parent = jnp.arange(w, dtype=jnp.int32)
-    ident_append = jnp.full((w,), -1, jnp.int32)
-    out_state = jax.tree.map(
-        lambda n, o: jnp.where(active, n, o), new, state
-    )
-    bp = (
-        jnp.where(active, parent, ident_parent),
-        jnp.where(active, append, ident_append),
-    )
+    # identity backpointers (parent = own slot, append = -1).
+    def keep(n_, o_):
+        act = active if n_.ndim == 2 else active[None]
+        return jnp.where(act, n_, o_)
+
+    out_state = jax.tree.map(keep, new, state)
+    ident_bp = w_col * 8
+    bp = jnp.where(active, jnp.stack(rows_bp), ident_bp).astype(jnp.int8)
     return out_state, bp
 
 
-def _backtrace(parents, appends):
-    """Walk the best beam backward; emit bases in reversed (5'→3') order."""
-    w = parents.shape[-1]
-    wvec = jnp.arange(w, dtype=jnp.int32)
+def backtrace_batch(bp) -> jnp.ndarray:
+    """Walk the best beam backward through packed backpointers.
 
-    def step(beam, xs):
-        parent_t, append_t = xs
-        onehot = beam == wvec  # scalar [W] one-hot; avoids gather ops
-        label = jnp.sum(jnp.where(onehot, append_t, 0))
-        return jnp.sum(jnp.where(onehot, parent_t, 0)), label
+    Args:
+      bp: ``[T, W, N]`` int8/int32 packed ``parent·8 + (append+1)`` per
+        (timestep, beam slot, read) — the main scan's emission format and
+        the Pallas kernel's native output format.
 
-    _, rev_labels = jax.lax.scan(
-        step, jnp.int32(0), (parents, appends), reverse=True
+    Returns:
+      ``[T, N]`` int32 labels in reversed (5'→3') emission order: row 0 =
+      last emitted base; ``-1`` marks copy steps (no emission).
+    """
+    t, w, n = bp.shape
+    w_col = jnp.arange(w, dtype=jnp.int32)[:, None]
+
+    def step(beam, bp_t):  # beam [1, N]; bp_t [W, N]
+        onehot = w_col == beam  # exactly one row; avoids gathers
+        sel = jnp.sum(
+            jnp.where(onehot, bp_t.astype(jnp.int32), 0),
+            axis=0, keepdims=True,
+        )
+        return sel // 8, sel % 8 - 1
+
+    _, labels = jax.lax.scan(
+        step, jnp.zeros((1, n), jnp.int32), bp, reverse=True, unroll=8
     )
-    return rev_labels[::-1]  # index 0 = last emitted base
+    return labels[::-1, 0, :]  # [T, N]; index 0 = last emitted base
 
 
 @functools.partial(
@@ -365,8 +435,12 @@ def beam_search_batch(
     else:
         lm_table = jnp.ones((1, N_BASES + 1), jnp.float32)
     ctx_mod = N_BASES**ctx_len
-    s_ents = signal_entropies(mats)
-    t_idx = jnp.arange(t)
+
+    mats_tn = jnp.transpose(mats, (1, 2, 0))  # [T, 5, N] batch-minor
+    s_ents = _entropies_tn(mats_tn)  # [T, 1, N]
+    active = (
+        jnp.arange(t, dtype=jnp.int32)[:, None] < lengths[None, :]
+    )[:, None, :]  # [T, 1, N]
 
     step = functools.partial(
         _step,
@@ -379,16 +453,12 @@ def beam_search_batch(
         lm_enabled=lm_enabled,
     )
 
-    def one(mat, s_ent, length):
-        active = t_idx < length
-        final, (parents, appends) = jax.lax.scan(
-            step, _init_state(beam_width), (mat, s_ent, active),
-            unroll=unroll,
-        )
-        rev = _backtrace(parents, appends)
-        return rev, final.length[0], final.pr_t[0]
-
-    return jax.vmap(one)(mats, s_ents, lengths)
+    final, bp = jax.lax.scan(
+        step, _init_state(beam_width, n), (mats_tn, s_ents, active),
+        unroll=unroll,
+    )
+    rev = backtrace_batch(bp)  # [T, N]
+    return rev.T, final.length[0], final.pr_t[0]
 
 
 def labels_to_seq(rev_labels: np.ndarray, reverse: bool = False,
