@@ -51,13 +51,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "stitch; 'mean' is a corrected true average")
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                    default="float32")
-    p.add_argument("--prep-mode", choices=["auto", "strips", "windows"],
+    p.add_argument("--prep-mode",
+                   choices=["auto", "fullread", "strips", "windows"],
                    default="auto",
-                   help="'strips' = fast global-mode forward computing "
-                        "only each window's kept output slab; 'auto' "
-                        "uses it whenever valid")
+                   help="global-mode forward: 'fullread' = one causal "
+                        "TCN pass over the whole read (fastest, same "
+                        "values); 'strips' = per-window kept-slab "
+                        "compute; 'windows' = reference op order; "
+                        "'auto' picks fullread whenever valid")
     p.add_argument("--seed", default=0, type=int,
                    help="init seed when no --sig-model is given")
+    p.add_argument("--mesh-data", type=int, default=None,
+                   help="shard each read batch over this many local chips "
+                        "(single-process multi-chip; read-batch must be "
+                        "divisible by it)")
     p.add_argument("--shard-reads", action="store_true",
                    help="multi-host: each host basecalls its share of reads")
     p.add_argument("--streaming", action="store_true",
@@ -84,6 +91,11 @@ def main(argv=None) -> None:
         read_batch=args.read_batch,
         prep_mode=args.prep_mode,
     )
+    mesh = None
+    if args.mesh_data is not None:
+        from radian_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data, model=1)
     bc = load_basecaller(
         checkpoint=args.sig_model,
         config_path=args.sig_config,
@@ -93,6 +105,7 @@ def main(argv=None) -> None:
         compute_dtype=(
             jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
         ),
+        mesh=mesh,
     )
     if args.shard_reads:
         from radian_tpu.parallel.distributed import basecall_sharded

@@ -26,6 +26,7 @@ from typing import Iterable, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from radian_tpu.config import DotDict, default_config
 from radian_tpu.io.fast5 import Fast5Read, iter_fast5_dir
@@ -275,7 +276,18 @@ def _decode_windows(probs, n_wins, pad_ends, *, opts: BasecallOptions,
 
 
 class Basecaller:
-    """Bucketed, batched TPU basecaller."""
+    """Bucketed, batched TPU basecaller.
+
+    Pass ``mesh`` (a ``jax.sharding.Mesh`` with a ``data`` axis, e.g.
+    from ``radian_tpu.parallel.make_mesh``) to shard each read batch over
+    multiple chips in ONE process: every device program is wrapped in
+    ``jax.shard_map`` over the ``data`` axis with parameters and LM
+    tables replicated — reads are independent, so the decode requires no
+    cross-chip collectives and scales linearly over ICI-connected chips.
+    ``read_batch`` must be divisible by the mesh's ``data`` size.
+    (Multi-HOST scale-out — separate processes with per-host fasta
+    shards — lives in ``radian_tpu.parallel.distributed``.)
+    """
 
     def __init__(
         self,
@@ -284,6 +296,7 @@ class Basecaller:
         lm: KmerLM | None = None,
         options: BasecallOptions | None = None,
         compute_dtype=jnp.float32,
+        mesh=None,
     ):
         self.config = config if config is not None else default_config()
         self.options = options or BasecallOptions()
@@ -291,6 +304,15 @@ class Basecaller:
         self.params = params
         self.lm = lm
         o = self.options
+        self.mesh = mesh
+        if mesh is not None:
+            if "data" not in mesh.axis_names:
+                raise ValueError("inference mesh needs a 'data' axis")
+            if o.read_batch % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"read_batch {o.read_batch} must be divisible by the "
+                    f"mesh data axis ({mesh.shape['data']})"
+                )
         if lm is not None and lm.context_len != o.context_len:
             raise ValueError(
                 f"LM context_len {lm.context_len} != options.context_len "
@@ -311,8 +333,9 @@ class Basecaller:
         else:  # auto: kernel path needs a real TPU backend
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
-        self._prep = jax.jit(
+        self._prep = self._device_fn(
             functools.partial(_prep_and_model, model=self.model, opts=o),
+            in_specs=(P(), P("data"), P("data")),
             static_argnames=("max_windows",),
         )
         # Fast global-mode forwards ('fullread' preferred, then 'strips'):
@@ -337,34 +360,69 @@ class Basecaller:
                 "'first' assembly, step | window, and window-step >= ctx "
                 f"({self._strip_ctx})"
             )
-        self._prep_strips = jax.jit(
+        self._prep_strips = self._device_fn(
             functools.partial(
                 _prep_model_assemble_strips, model=self.model, opts=o,
                 ctx=self._strip_ctx,
             ),
+            in_specs=(P(), P("data"), P("data")),
             static_argnames=("n_strips",),
         )
-        self._prep_fullread = jax.jit(
+        self._prep_fullread = self._device_fn(
             functools.partial(
                 _prep_model_assemble_fullread, model=self.model, opts=o,
-            )
+            ),
+            in_specs=(P(), P("data"), P("data")),
         )
-        self._decode_assembled = jax.jit(
+        self._decode_assembled = self._device_fn(
             functools.partial(
                 _decode_assembled, opts=o, lm_enabled=lm is not None,
                 use_pallas=use_pallas,
-            )
+            ),
+            in_specs=(P("data"), P("data"), P(), P()),
         )
-        self._global_decode = jax.jit(
+        self._global_decode = self._device_fn(
             functools.partial(
                 _assemble_and_decode, opts=o, lm_enabled=lm is not None,
                 use_pallas=use_pallas,
             ),
+            in_specs=(P("data"), P("data"), P("data"), P(), P()),
             static_argnames=("out_len",),
         )
-        self._chunk_decode = jax.jit(
-            functools.partial(_decode_windows, opts=o, use_pallas=use_pallas)
+        self._chunk_decode = self._device_fn(
+            functools.partial(_decode_windows, opts=o,
+                              use_pallas=use_pallas),
+            in_specs=(P("data"), P("data"), P("data")),
         )
+
+    def _device_fn(self, fn, *, in_specs, static_argnames=()):
+        """Wrap a device program: plain jit, or jit(shard_map) on a mesh.
+
+        Reads are independent, so every program shards its batch inputs
+        over the ``data`` axis with no collectives (``out_specs`` is
+        uniformly ``P('data')`` — all outputs are batch-leading).
+        ``shard_map`` has no static-argument support, so static kwargs
+        are bound per distinct value (cached) before mapping.
+        """
+        if self.mesh is None:
+            return jax.jit(fn, static_argnames=static_argnames)
+        mesh = self.mesh
+        cache: dict = {}
+
+        def call(*args, **statics):
+            key = tuple(sorted(statics.items()))
+            if key not in cache:
+                bound = functools.partial(fn, **statics) if statics else fn
+                # check_vma off: scan carries are initialised from
+                # constants (unvarying) and become data-varying after one
+                # step, which the strict VMA check rejects
+                cache[key] = jax.jit(jax.shard_map(
+                    bound, mesh=mesh, in_specs=in_specs,
+                    out_specs=P("data"), check_vma=False,
+                ))
+            return cache[key](*args)
+
+        return call
 
     # -- host orchestration ----------------------------------------------
 
@@ -595,6 +653,7 @@ def load_basecaller(
     options: BasecallOptions | None = None,
     seed: int = 0,
     compute_dtype=jnp.float32,
+    mesh=None,
 ) -> Basecaller:
     """Build a Basecaller from file paths (None checkpoint → seeded init)."""
     if config_path is None:
@@ -616,4 +675,4 @@ def load_basecaller(
     lm = None
     if rna_model is not None and str(rna_model) != "None":
         lm = load_kmer_json(rna_model, opts.context_len)
-    return Basecaller(params, config, lm, opts, compute_dtype)
+    return Basecaller(params, config, lm, opts, compute_dtype, mesh=mesh)
