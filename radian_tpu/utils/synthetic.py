@@ -64,6 +64,13 @@ def synth_windows(
     dwell_mean = read_kw.get("dwell_mean", 9.0)
     dwell_std = read_kw.get("dwell_std", 2.0)
     noise = read_kw.get("noise", 0.25)
+    if window / dwell_mean > max_label:
+        raise ValueError(
+            f"window {window} at dwell_mean {dwell_mean} holds "
+            f"~{window / dwell_mean:.0f} bases > max_label {max_label}; "
+            "raise max_label or dwell_mean (RNA002-realistic dwell is "
+            "~40 samples/base at 3012 Hz)"
+        )
 
     signals = np.zeros((n_windows, window), np.float32)
     labels = np.zeros((n_windows, max_label), np.int32)

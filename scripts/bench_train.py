@@ -1,0 +1,61 @@
+"""Train-step throughput on the real chip (windows/s at the reference
+configuration: 1024-sample windows, CTC loss, Adam 1e-4).
+
+Usage: python scripts/bench_train.py [batch_size ...]
+"""
+
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path("bench_data/.jax_cache").absolute()))
+
+import jax
+import numpy as np
+
+from radian_tpu.config import default_config
+from radian_tpu.train.trainer import TrainConfig, Trainer
+from radian_tpu.utils.synthetic import kmer_level_table, synth_windows
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    batches = [int(x) for x in sys.argv[1:]] or [32, 256, 1024]
+    print(f"devices: {jax.devices()}", flush=True)
+    cfg = default_config()
+    rng = np.random.default_rng(0)
+    levels = kmer_level_table(rng)
+
+    for bs in batches:
+        trainer = Trainer(cfg, TrainConfig(checkpoint_dir=None, seed=0))
+        # dwell 40 samples/base: RNA002-realistic translocation at
+        # 3012 Hz -> ~26 labels per 1024-sample window (<= MAX_LABEL 64)
+        batch = synth_windows(rng, bs, window=1024, levels=levels,
+                              dwell_mean=40.0, dwell_std=8.0)
+
+        def step():
+            trainer.state, loss = trainer._train_step(
+                trainer.state, trainer._put_batch(batch)
+            )
+            return loss
+
+        t0 = time.perf_counter()
+        float(step())
+        print(f"bs={bs:5d} compile+run {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        n_steps = 30
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            loss = step()
+        float(loss)  # sync
+        dt = (time.perf_counter() - t0) / n_steps
+        print(f"bs={bs:5d} {dt*1e3:8.1f} ms/step  "
+              f"{bs/dt:10.0f} windows/s  "
+              f"{bs*1024/dt/1e6:8.1f} Msamples/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
