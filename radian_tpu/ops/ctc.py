@@ -80,6 +80,16 @@ def ctc_loss(log_probs, input_lengths, labels, label_lengths, blank_id: int = 4)
 
     batch_idx = jnp.arange(b)
 
+    # emission lookup as a one-hot masked sum: the obvious gather
+    # ``lp_t[batch, ext]`` differentiates to a per-step scatter-add,
+    # which serializes on TPU (measured 504 ms of a 549 ms train step at
+    # batch 256); the one-hot contraction is exact (log-softmax outputs
+    # are finite, masked terms add literal zeros) and its backward is a
+    # dense broadcast-multiply
+    onehot = (
+        ext[:, :, None] == jnp.arange(c, dtype=ext.dtype)[None, None, :]
+    ).astype(log_probs.dtype)  # [B, S, C]
+
     def step(alpha, lp_t):
         # lp_t: [B, C]; transition maxima in log space via logaddexp
         stay = alpha
@@ -87,7 +97,7 @@ def ctc_loss(log_probs, input_lengths, labels, label_lengths, blank_id: int = 4)
         prev2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=NEG_INF)[:, :s]
         prev2 = jnp.where(can_skip, prev2, NEG_INF)
         combined = jnp.logaddexp(jnp.logaddexp(stay, prev1), prev2)
-        emit = lp_t[batch_idx[:, None], ext]  # [B, S]
+        emit = (lp_t[:, None, :] * onehot).sum(-1)  # [B, S]
         new_alpha = jnp.where(state_valid, combined + emit, NEG_INF)
         return new_alpha, new_alpha
 

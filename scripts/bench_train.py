@@ -56,6 +56,18 @@ def main():
               f"{bs/dt:10.0f} windows/s  "
               f"{bs*1024/dt/1e6:8.1f} Msamples/s", flush=True)
 
+        # pure device loop: batch uploaded once (isolates input-pipeline
+        # and dispatch overhead from the device step itself)
+        dev_batch = trainer._put_batch(batch)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            trainer.state, loss = trainer._train_step(
+                trainer.state, dev_batch)
+        float(loss)
+        dt = (time.perf_counter() - t0) / n_steps
+        print(f"bs={bs:5d} {dt*1e3:8.1f} ms/step (device-only)  "
+              f"{bs/dt:10.0f} windows/s", flush=True)
+
 
 if __name__ == "__main__":
     main()
