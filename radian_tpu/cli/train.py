@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="bfloat16 runs conv/dense math on the MXU native "
+                        "dtype (params/optimizer/loss stay f32)")
     return p
 
 
@@ -73,6 +77,7 @@ def main(argv=None) -> None:
         seed=args.seed,
         mesh_data=args.mesh_data,
         mesh_model=args.mesh_model,
+        compute_dtype=args.compute_dtype,
     )
     trainer = Trainer(config, tcfg)
 

@@ -44,6 +44,10 @@ class TrainConfig:
     mesh_data: int | None = None
     mesh_model: int = 1
     log_every: int = 50
+    # 'bfloat16' runs conv/dense math on the MXU native dtype; parameters,
+    # optimizer state, residual sums, softmax, and the CTC loss stay f32
+    # (the reference trains pure f32, model.py:100-153)
+    compute_dtype: str = "float32"
 
 
 def make_train_step(model, tx, blank_id: int = 4):
@@ -82,7 +86,10 @@ class Trainer:
     ):
         self.config = config if config is not None else default_config()
         self.tcfg = train_config or TrainConfig()
-        self.model = build_model(self.config)
+        self.model = build_model(
+            self.config,
+            compute_dtype=jnp.dtype(self.tcfg.compute_dtype),
+        )
         self.tx = build_optimizer(self.config.train.opt)
         self.mesh = mesh if mesh is not None else make_mesh(
             data=self.tcfg.mesh_data, model=self.tcfg.mesh_model

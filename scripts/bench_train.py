@@ -2,6 +2,7 @@
 configuration: 1024-sample windows, CTC loss, Adam 1e-4).
 
 Usage: python scripts/bench_train.py [batch_size ...]
+Set BENCH_TRAIN_DTYPE=bfloat16 for mixed-precision conv/dense math.
 """
 
 import os
@@ -29,8 +30,10 @@ def main():
     rng = np.random.default_rng(0)
     levels = kmer_level_table(rng)
 
+    dtype = os.environ.get("BENCH_TRAIN_DTYPE", "float32")
     for bs in batches:
-        trainer = Trainer(cfg, TrainConfig(checkpoint_dir=None, seed=0))
+        trainer = Trainer(cfg, TrainConfig(checkpoint_dir=None, seed=0,
+                                           compute_dtype=dtype))
         # dwell 40 samples/base: RNA002-realistic translocation at
         # 3012 Hz -> ~26 labels per 1024-sample window (<= MAX_LABEL 64)
         batch = synth_windows(rng, bs, window=1024, levels=levels,

@@ -162,3 +162,22 @@ def test_tensor_parallel_mesh(synth_batches):
     trainer.train_epoch(synth_batches[:10], epoch=0)
     state1 = trainer.evaluate(synth_batches[:2])
     assert np.isfinite(state1) and state1 < state0
+
+
+def test_training_bf16_compute(synth_batches):
+    """Mixed-precision training: bf16 conv/dense math, f32 params/loss.
+
+    Loss must stay finite, decrease, and parameters remain f32."""
+    cfg = _tiny_config()
+    trainer = Trainer(
+        cfg,
+        TrainConfig(checkpoint_dir=None, compute_dtype="bfloat16"),
+    )
+    first = trainer.evaluate(synth_batches[:4])
+    for _ in range(3):
+        trainer.train_epoch(synth_batches, epoch=0)
+    last = trainer.evaluate(synth_batches[:4])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first * 0.8, f"bf16 loss did not decrease: {first} -> {last}"
+    for leaf in jax.tree_util.tree_leaves(trainer.state.params):
+        assert leaf.dtype == np.float32
