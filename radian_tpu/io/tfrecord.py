@@ -223,6 +223,51 @@ def read_shard(
     """
     data = Path(path).read_bytes()
     lib = _load_native() if use_native else False
+    return _parse_buffer(data, window, max_label, verify_crc, lib, path)
+
+
+def iter_shard(
+    path: str | Path,
+    window: int = _WINDOW,
+    max_label: int = _MAX_LABEL,
+    block: int = 256,
+    verify_crc: bool = False,
+    use_native: bool = True,
+):
+    """Stream a shard as dense array blocks of up to ``block`` examples.
+
+    Bounded-memory reader for interleaved input pipelines (the reference
+    holds 32 shards open concurrently, reference radian/data.py:57-63):
+    reads ``block`` framed records at a time from the file handle and
+    batch-parses them with the native codec when built, so peak memory
+    per open shard is ~``block`` examples instead of the whole shard.
+
+    Yields tuples shaped like :func:`read_shard`'s return value.
+    """
+    lib = _load_native() if use_native else False
+    with open(path, "rb") as fh:
+        while True:
+            chunk = bytearray()
+            count = 0
+            while count < block:
+                header = fh.read(8)
+                if len(header) < 8:
+                    break
+                (length,) = struct.unpack("<Q", header)
+                rest = fh.read(4 + length + 4)
+                if len(rest) < 4 + length + 4:
+                    raise ValueError(f"truncated record in {path}")
+                chunk += header
+                chunk += rest
+                count += 1
+            if not count:
+                return
+            yield _parse_buffer(
+                bytes(chunk), window, max_label, verify_crc, lib, path
+            )
+
+
+def _parse_buffer(data, window, max_label, verify_crc, lib, path):
     if lib:
         cap = max(len(data) // 64, 16)  # examples are >= ~4KB each
         while True:

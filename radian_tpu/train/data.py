@@ -14,12 +14,13 @@ from __future__ import annotations
 import glob as globlib
 import queue
 import threading
+from collections import deque
 from pathlib import Path
 from typing import Iterator
 
 import numpy as np
 
-from radian_tpu.io.tfrecord import read_shard
+from radian_tpu.io.tfrecord import iter_shard, read_shard
 
 
 def list_shards(shards_dir: str | Path, split: str) -> list[str]:
@@ -39,6 +40,15 @@ class ShardDataset:
       window/max_label: dense buffer sizes.
       seed: shuffle seed (per-host offset applied by the caller).
       drop_remainder: drop the final short batch (train default).
+      interleave_cycle: shards held open concurrently; examples are
+        drawn round-robin across them (reference radian/data.py:57-63,
+        tf.data interleave cycle_length=32, block_length=1).
+      shuffle_buffer: streaming shuffle-buffer size in examples
+        (reference radian/data.py:7,64: WINDOWS_PER_SHARD+1 = 50_001),
+        so consecutive batches mix examples from many shards instead of
+        draining one shard at a time.  Train mode only.
+      read_block: examples parsed per IO chunk per open shard (bounds
+        memory to ~cycle·block examples instead of whole shards).
     """
 
     def __init__(
@@ -51,6 +61,9 @@ class ShardDataset:
         seed: int = 0,
         drop_remainder: bool | None = None,
         prefetch: int = 4,
+        interleave_cycle: int = 32,
+        shuffle_buffer: int = 50_001,
+        read_block: int = 256,
     ):
         if not shard_files:
             raise ValueError("no shard files given")
@@ -62,6 +75,9 @@ class ShardDataset:
         self.seed = seed
         self.drop_remainder = train if drop_remainder is None else drop_remainder
         self.prefetch = prefetch
+        self.interleave_cycle = max(1, interleave_cycle)
+        self.shuffle_buffer = max(1, shuffle_buffer)
+        self.read_block = read_block
 
     def count_examples(self) -> int:
         n = 0
@@ -70,21 +86,69 @@ class ShardDataset:
             n += s.shape[0]
         return n
 
+    def _shard_examples(self, path: str) -> Iterator[tuple]:
+        """Stream one shard example-at-a-time (block-buffered IO)."""
+        for sig, lab, slen, llen in iter_shard(
+            path, self.window, self.max_label, block=self.read_block
+        ):
+            for i in range(sig.shape[0]):
+                yield sig[i], lab[i], slen[i], llen[i]
+
+    def _interleaved(self, rng) -> Iterator[tuple]:
+        """One epoch, drawn round-robin from ``interleave_cycle`` open
+        shards; an exhausted shard's slot is refilled from the pending
+        file list (tf.data interleave semantics, reference
+        radian/data.py:57-63).  Validation reads shards one at a time in
+        order (reference uses cycle_length=1 for val)."""
+        files = list(self.shard_files)
+        if self.train:
+            rng.shuffle(files)
+        cycle = self.interleave_cycle if self.train else 1
+        pending = iter(files)
+        active: deque = deque()
+
+        def refill():
+            while len(active) < cycle:
+                f = next(pending, None)
+                if f is None:
+                    return
+                active.append(self._shard_examples(f))
+
+        refill()
+        while active:
+            it = active.popleft()
+            try:
+                ex = next(it)
+            except StopIteration:
+                refill()
+                continue
+            yield ex
+            active.append(it)
+
+    def _shuffled(self, src: Iterator[tuple], rng) -> Iterator[tuple]:
+        """Streaming shuffle buffer: emit a uniformly-random held example
+        per input, then drain in random order (tf.data shuffle)."""
+        buf: list = []
+        for ex in src:
+            if len(buf) < self.shuffle_buffer:
+                buf.append(ex)
+                continue
+            j = int(rng.integers(len(buf)))
+            out = buf[j]
+            buf[j] = ex
+            yield out
+        while buf:
+            j = int(rng.integers(len(buf)))
+            buf[j], buf[-1] = buf[-1], buf[j]
+            yield buf.pop()
+
     def _example_stream(self) -> Iterator[tuple]:
         rng = np.random.default_rng(self.seed)
-        epoch = 0
         while True:
-            files = list(self.shard_files)
+            src = self._interleaved(rng)
             if self.train:
-                rng.shuffle(files)
-            for f in files:
-                sig, lab, slen, llen = read_shard(f, self.window, self.max_label)
-                order = np.arange(sig.shape[0])
-                if self.train:
-                    rng.shuffle(order)
-                for i in order:
-                    yield sig[i], lab[i], slen[i], llen[i]
-            epoch += 1
+                src = self._shuffled(src, rng)
+            yield from src
             if not self.train:
                 return
 

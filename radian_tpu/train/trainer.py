@@ -116,6 +116,9 @@ class Trainer:
         self._eval_step = jax.jit(eval_step)
 
         self._ckpt_mgr = None
+        self._best_mgr = None
+        self.best_val_loss = float("inf")
+        self.best_epoch: int | None = None
         if self.tcfg.checkpoint_dir:
             import orbax.checkpoint as ocp
 
@@ -124,6 +127,13 @@ class Trainer:
                 options=ocp.CheckpointManagerOptions(
                     max_to_keep=self.tcfg.keep_checkpoints
                 ),
+            )
+            # best-on-val-loss checkpoint (reference ModelCheckpoint
+            # monitor='val_loss' save_best_only, train.py:72-78), kept in
+            # its own directory so the keep-N rotation never deletes it
+            self._best_mgr = ocp.CheckpointManager(
+                Path(self.tcfg.checkpoint_dir).absolute() / "best",
+                options=ocp.CheckpointManagerOptions(max_to_keep=1),
             )
         self._writers = []
         if self.tcfg.log_dir:
@@ -142,37 +152,41 @@ class Trainer:
 
     # -- checkpointing ----------------------------------------------------
 
-    def save_checkpoint(self, epoch: int) -> None:
-        if self._ckpt_mgr is None:
-            return
-        import orbax.checkpoint as ocp
-
-        payload = {
+    def _payload(self, epoch: int, val_loss: float | None) -> dict:
+        return {
             "params": self.state.params,
             "opt_state": self.state.opt_state,
             "step": int(self.state.step),
             "epoch": epoch,
+            "val_loss": float("nan") if val_loss is None else float(val_loss),
         }
+
+    def save_checkpoint(self, epoch: int, val_loss: float | None = None) -> None:
+        """Save the epoch checkpoint; when ``val_loss`` improves on the
+        best seen so far, also update the best-on-val checkpoint
+        (reference ModelCheckpoint monitor='val_loss', train.py:72-78)."""
+        if self._ckpt_mgr is None:
+            return
+        import orbax.checkpoint as ocp
+
+        payload = self._payload(epoch, val_loss)
         self._ckpt_mgr.save(epoch, args=ocp.args.StandardSave(payload))
         self._ckpt_mgr.wait_until_finished()
+        if val_loss is not None and float(val_loss) < self.best_val_loss:
+            self.best_val_loss = float(val_loss)
+            self.best_epoch = epoch
+            self._best_mgr.save(epoch, args=ocp.args.StandardSave(payload))
+            self._best_mgr.wait_until_finished()
 
-    def restore_checkpoint(self, epoch: int | None = None) -> int:
-        """Restore params *and* optimizer state; returns the epoch to
-        resume from (reference resume loses optimizer state,
-        model.py:33-40 — fixed here)."""
+    def _restore_from(self, mgr, epoch: int | None) -> int:
         import orbax.checkpoint as ocp
 
         if epoch is None:
-            epoch = self._ckpt_mgr.latest_step()
+            epoch = mgr.latest_step()
             if epoch is None:
                 return 0
-        template = {
-            "params": self.state.params,
-            "opt_state": self.state.opt_state,
-            "step": int(self.state.step),
-            "epoch": 0,
-        }
-        restored = self._ckpt_mgr.restore(
+        template = self._payload(0, None)
+        restored = mgr.restore(
             epoch, args=ocp.args.StandardRestore(template)
         )
         self.state = self.state.replace(
@@ -181,6 +195,17 @@ class Trainer:
             step=restored["step"],
         )
         return int(restored["epoch"]) + 1
+
+    def restore_checkpoint(self, epoch: int | None = None) -> int:
+        """Restore params *and* optimizer state; returns the epoch to
+        resume from (reference resume loses optimizer state,
+        model.py:33-40 — fixed here)."""
+        return self._restore_from(self._ckpt_mgr, epoch)
+
+    def restore_best_checkpoint(self) -> int:
+        """Restore the best-on-val-loss checkpoint; returns the epoch
+        after the one restored (0 if no best checkpoint exists)."""
+        return self._restore_from(self._best_mgr, None)
 
     # -- logging ----------------------------------------------------------
 
@@ -303,8 +328,9 @@ class Trainer:
             )
             tl = self.train_epoch(source, epoch)
             history["train_loss"].append(tl)
+            vl = None
             if val_data_factory is not None and (epoch + 1) % val_freq == 0:
                 vl = self.evaluate(val_data_factory(), epoch)
                 history["val_loss"].append(vl)
-            self.save_checkpoint(epoch)
+            self.save_checkpoint(epoch, val_loss=vl)
         return history

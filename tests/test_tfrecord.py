@@ -39,6 +39,23 @@ def test_roundtrip(rng, tmp_path, use_native):
         assert llen[i] == n
 
 
+@pytest.mark.parametrize("use_native", [True, False])
+@pytest.mark.parametrize("block", [1, 3, 256])
+def test_iter_shard_streams_whole_shard(rng, tmp_path, use_native, block):
+    """Block-streaming reader yields exactly read_shard's arrays."""
+    exs = _examples(rng, n=11)
+    path = tmp_path / "shard.tfrecords"
+    tfr.write_shard(path, exs)
+    whole = tfr.read_shard(path, 64, 16)
+    blocks = list(
+        tfr.iter_shard(path, 64, 16, block=block, use_native=use_native)
+    )
+    assert all(b[0].shape[0] <= block for b in blocks)
+    cat = [np.concatenate([b[i] for b in blocks]) for i in range(4)]
+    for x, y in zip(whole, cat):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_native_matches_python(rng, tmp_path):
     exs = _examples(rng, n=20)
     path = tmp_path / "shard.tfrecords"

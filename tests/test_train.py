@@ -95,6 +95,34 @@ def test_checkpoint_save_restore(synth_batches, tmp_path):
     jax.tree.map(np.testing.assert_array_equal, o1, o2)
 
 
+def test_best_on_val_checkpoint(synth_batches, tmp_path):
+    """The best-on-val-loss checkpoint survives later, worse epochs and
+    restores the exact parameters of the best epoch (reference
+    ModelCheckpoint monitor='val_loss' save_best_only, train.py:72-78)."""
+    cfg = _tiny_config()
+    ckpt_dir = str(tmp_path / "ckpt")
+    tr = Trainer(cfg, TrainConfig(checkpoint_dir=ckpt_dir))
+
+    snapshots = {}
+    for epoch, vl in enumerate([2.0, 1.0, 3.0]):
+        tr.train_epoch(synth_batches[:2], epoch=epoch)
+        snapshots[epoch] = jax.tree.map(np.asarray, tr.state.params)
+        tr.save_checkpoint(epoch, val_loss=vl)
+    assert tr.best_epoch == 1 and tr.best_val_loss == 1.0
+
+    tr2 = Trainer(cfg, TrainConfig(checkpoint_dir=ckpt_dir))
+    resume = tr2.restore_best_checkpoint()
+    assert resume == 2  # epoch after the best (epoch 1)
+    p2 = jax.tree.map(np.asarray, tr2.state.params)
+    jax.tree.map(np.testing.assert_array_equal, snapshots[1], p2)
+    with pytest.raises(AssertionError):
+        jax.tree.map(np.testing.assert_array_equal, snapshots[2], p2)
+
+    # latest (rotating) checkpoint is independent: resumes from epoch 2
+    tr3 = Trainer(cfg, TrainConfig(checkpoint_dir=ckpt_dir))
+    assert tr3.restore_checkpoint() == 3
+
+
 def test_data_pipeline_from_shards(rng, tmp_path):
     from radian_tpu.io.tfrecord import write_shard
 
@@ -136,6 +164,48 @@ def test_data_pipeline_from_shards(rng, tmp_path):
     a = host_shard_files(files, 0, 2)
     b = host_shard_files(files, 1, 2)
     assert sorted(a + b) == files
+
+
+def test_cross_shard_shuffle_mixes_early_batches(rng, tmp_path):
+    """Early train batches must mix examples from many shards — the
+    reference interleaves 32 shards and shuffles through a 50,001-example
+    buffer (reference radian/data.py:57-69), so consecutive batches never
+    come from a single shard."""
+    from radian_tpu.io.tfrecord import write_shard
+
+    n_shards, per_shard = 8, 25
+    (tmp_path / "train").mkdir()
+    for s in range(n_shards):
+        exs = [
+            {
+                # encode the shard id in the signal so batches are traceable
+                "signal": np.full(64, float(s), np.float32),
+                "label": np.zeros(3, np.float32),
+                "signal_length": 64,
+                "label_length": 3,
+            }
+            for _ in range(per_shard)
+        ]
+        write_shard(tmp_path / "train" / f"shard-{s}.tfrecords", exs)
+
+    files = list_shards(tmp_path, "train")
+    it = iter(
+        ShardDataset(
+            files, batch_size=16, train=True, window=64, seed=0,
+            interleave_cycle=8, shuffle_buffer=100, read_block=4,
+        )
+    )
+    first, second = next(it), next(it)
+    for b in (first, second):
+        shard_ids = set(b["signal"][:, 0].astype(int).tolist())
+        assert len(shard_ids) >= 4, shard_ids
+
+    # val mode stays deterministic and sequential (cycle 1, no shuffle)
+    val = list(
+        ShardDataset(files, batch_size=per_shard, train=False, window=64)
+    )
+    for i, b in enumerate(val):
+        assert set(b["signal"][:, 0].astype(int).tolist()) == {i}
 
 
 def test_multi_device_data_parallel_training(synth_batches):
