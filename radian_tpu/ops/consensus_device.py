@@ -26,8 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "out_len"))
-def consensus_votes(frags, lens, *, max_disp: int, out_len: int):
+@functools.partial(jax.jit, static_argnames=("max_disp", "out_len", "min_disp"))
+def consensus_votes(frags, lens, *, max_disp: int, out_len: int,
+                    min_disp: int = 0):
     """Vote-matrix consensus of int-coded fragments.
 
     Args:
@@ -35,6 +36,9 @@ def consensus_votes(frags, lens, *, max_disp: int, out_len: int):
       lens: ``[F]`` fragment lengths; zero-length fragments are skipped.
       max_disp: displacement search bound per pair (>= max fragment len).
       out_len: static consensus width bound.
+      min_disp: lowest displacement searched (negative values let a
+        fragment start *before* its predecessor, which the reference's
+        difflib path can produce — sequence_assembly.py:30-33).
 
     Returns:
       ``(votes [4, out_len] f32, total_len)``.
@@ -43,18 +47,24 @@ def consensus_votes(frags, lens, *, max_disp: int, out_len: int):
     pos_iota = jnp.arange(l)
 
     def pair_disp(prev, prev_len, cur, cur_len):
-        """Best displacement of ``cur`` against ``prev`` by match count."""
-        disps = jnp.arange(max_disp)
+        """Best displacement of ``cur`` against ``prev`` by match count;
+        ties prefer the smallest |d| (positive over negative at equal
+        magnitude), so zero-overlap pairs fall back to d=0 rather than
+        the most negative candidate."""
+        disps = jnp.arange(min_disp, max_disp)
 
         def score(d):
             # cur[j] vs prev[d + j]
             idx = d + pos_iota
-            ok = (idx < prev_len) & (pos_iota < cur_len)
-            prev_at = prev[jnp.minimum(idx, l - 1)]
+            ok = (idx >= 0) & (idx < prev_len) & (pos_iota < cur_len)
+            prev_at = prev[jnp.clip(idx, 0, l - 1)]
             return jnp.sum(jnp.where(ok & (prev_at == cur), 1, 0))
 
         scores = jax.vmap(score)(disps)
-        return jnp.argmax(scores)  # ties -> smallest displacement
+        # composite key: integer match count, then -2|d| + (d>=0)
+        pref = -2 * jnp.abs(disps) + (disps >= 0)
+        span = 2 * (max_disp - min_disp) + 2
+        return disps[jnp.argmax(scores * span + pref)]
 
     disps = jax.vmap(
         lambda i: pair_disp(
@@ -63,6 +73,9 @@ def consensus_votes(frags, lens, *, max_disp: int, out_len: int):
         )
     )(jnp.arange(f))
     disps = disps.at[0].set(0)
+    # the running position may go negative (host path keeps it signed,
+    # ops/consensus.py); votes below column 0 are truncated like the
+    # host's _vote, via the scatter's out-of-bounds drop below
     positions = jnp.cumsum(disps)
 
     votes = jnp.zeros((4, out_len), jnp.float32)
@@ -76,11 +89,17 @@ def consensus_votes(frags, lens, *, max_disp: int, out_len: int):
     total = jnp.max(
         jnp.where(lens > 0, positions + lens, 0)
     )
-    return votes, jnp.minimum(total, out_len)
+    return votes, jnp.clip(total, 0, out_len)
 
 
-def assemble_fragments_device(fragments: list[str], max_disp: int = 256) -> str:
-    """Host wrapper: strings in, consensus string out (decoder order)."""
+def assemble_fragments_device(fragments: list[str], max_disp: int = 256,
+                              neg_disp: int | None = None) -> str:
+    """Host wrapper: strings in, consensus string out (decoder order).
+
+    ``neg_disp`` bounds how far a fragment may start before its
+    predecessor (defaults to a quarter of the search window; the host
+    difflib path allows arbitrary negative displacements).
+    """
     from radian_tpu.ops.consensus import BASES, _IDX
 
     frags = [f for f in fragments]
@@ -94,9 +113,11 @@ def assemble_fragments_device(fragments: list[str], max_disp: int = 256) -> str:
         arr[i, : len(s)] = [_IDX[b.upper()] for b in s]
         lens[i] = len(s)
     out_len = f * l + 1
+    hi = min(max_disp, l + 1)
+    lo = -min(neg_disp if neg_disp is not None else max(hi // 4, 8), l)
     votes, total = consensus_votes(
         jnp.asarray(arr), jnp.asarray(lens),
-        max_disp=min(max_disp, l + 1), out_len=out_len,
+        max_disp=hi, out_len=out_len, min_disp=lo,
     )
     votes = np.asarray(votes)[:, : int(total)]
     if votes.shape[1] == 0:

@@ -40,3 +40,26 @@ def test_noisy_fragments_mostly_match(rng):
     truth = full[:expected_len]
     matches = sum(a == b for a, b in zip(out, truth))
     assert matches / max(len(truth), 1) > 0.9
+
+
+def test_negative_displacement_recovered(rng):
+    """A fragment starting *before* its predecessor (negative
+    displacement, which the difflib host path handles via truncation at
+    column 0) must align correctly instead of being forced to d >= 0."""
+    full = "".join(rng.choice(list("ACGT"), size=120))
+    frags = [full[30:90], full[10:70], full[40:100]]  # disp -20 then +30
+    out = assemble_fragments_device(frags, neg_disp=40)
+    # fragment 2 realigns into [10, 70); consensus spans [30, 100) with
+    # votes truncated below the first fragment's start
+    assert full[30:100] in out or out in full
+    matches = sum(a == b for a, b in zip(out, full[30:]))
+    assert matches / len(out) > 0.95
+
+
+def test_zero_overlap_falls_back_to_smallest_offset(rng):
+    """Disjoint fragments (no matches at any displacement) tie at score
+    0; the tie-break must pick d=0, not the most negative candidate."""
+    a = "A" * 30
+    b = "C" * 30
+    out = assemble_fragments_device([a, b, a], neg_disp=20)
+    assert len(out) == 30  # all fragments stacked at the same offset

@@ -75,6 +75,65 @@ def test_alignment_matches_biopython_scoring(rng):
         assert got == pytest.approx(best), (ref, q, ra, qa)
 
 
+def test_aligner_matches_scalar_dp_at_scale(rng):
+    """The vectorised max-plus-scan aligner must reproduce the plain
+    per-cell Gotoh DP score on realistic-size pairs (and finish kb-scale
+    pairs quickly — the round-2 per-cell Python loop crawled there)."""
+
+    def scalar_gotoh_score(ref, q, ma=2.0, mi=-4.0, go=-4.0, ge=-2.0):
+        n, m = len(ref), len(q)
+        NEG = -1e9
+        M = np.full((n + 1, m + 1), NEG)
+        X = np.full((n + 1, m + 1), NEG)
+        Y = np.full((n + 1, m + 1), NEG)
+        M[0, 0] = 0.0
+        for i in range(1, n + 1):
+            X[i, 0] = go + (i - 1) * ge
+        for j in range(1, m + 1):
+            Y[0, j] = go + (j - 1) * ge
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                s = ma if ref[i - 1] == q[j - 1] else mi
+                M[i, j] = max(M[i-1][j-1], X[i-1][j-1], Y[i-1][j-1]) + s
+                X[i, j] = max(M[i-1][j] + go, X[i-1][j] + ge, Y[i-1][j] + go)
+                Y[i, j] = max(M[i][j-1] + go, X[i][j-1] + go, Y[i][j-1] + ge)
+        return max(M[n, m], X[n, m], Y[n, m])
+
+    def aln_score(ra, qa):
+        s, gr, gq = 0.0, False, False
+        for r, q in zip(ra, qa):
+            if r == "-":
+                s += -2.0 if gr else -4.0
+                gr, gq = True, False
+            elif q == "-":
+                s += -2.0 if gq else -4.0
+                gq, gr = True, False
+            else:
+                s += 2.0 if r == q else -4.0
+                gr = gq = False
+        return s
+
+    for _ in range(3):
+        n1, n2 = rng.integers(150, 250, 2)
+        ref = "".join(rng.choice(list("ACGT"), n1))
+        q = "".join(rng.choice(list("ACGT"), n2))
+        ra, qa = global_align(ref, q)
+        assert aln_score(ra, qa) == pytest.approx(scalar_gotoh_score(ref, q))
+
+    # kb-scale pair: mutate a 1.5 kb ref into a query; identity must be
+    # high and the run must not crawl (per-cell Python would take >60 s)
+    import time
+
+    base = rng.choice(list("ACGT"), 1500)
+    qarr = base.copy()
+    flip = rng.random(1500) < 0.05
+    qarr[flip] = rng.choice(list("ACGT"), int(flip.sum()))
+    t0 = time.perf_counter()
+    st = read_identity("".join(base), "".join(qarr))
+    assert time.perf_counter() - t0 < 5.0
+    assert st["accuracy"] > 90.0
+
+
 def _brute_force_best(ref, q):
     """Exponential-time exact affine-gap global alignment score."""
     from functools import lru_cache
