@@ -70,6 +70,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--streaming", action="store_true",
                    help="bounded-memory streaming mode: fast5 ingest "
                         "overlaps compute, fasta flushed in read order")
+    p.add_argument("--bucket-lengths", default=None,
+                   help="comma-separated fixed bucket ladder (e.g. "
+                        "'4096,8192,16384'): caps compiled programs and "
+                        "enables ahead-of-time warmup")
+    p.add_argument("--prewarm", action="store_true",
+                   help="compile all --bucket-lengths programs before "
+                        "processing reads (fills the on-disk compile "
+                        "cache; see scripts/prewarm.py)")
     return p
 
 
@@ -90,6 +98,10 @@ def main(argv=None) -> None:
         assembly_mode=args.assembly_mode,
         read_batch=args.read_batch,
         prep_mode=args.prep_mode,
+        bucket_lengths=(
+            tuple(int(x) for x in args.bucket_lengths.split(","))
+            if args.bucket_lengths else None
+        ),
     )
     mesh = None
     if args.mesh_data is not None:
@@ -107,6 +119,10 @@ def main(argv=None) -> None:
         ),
         mesh=mesh,
     )
+    if args.prewarm:
+        t = bc.warmup()
+        print(f"prewarm: compiled {len(set(options.bucket_lengths))} "
+              f"bucket programs in {t:.1f}s")
     if args.shard_reads:
         from radian_tpu.parallel.distributed import basecall_sharded
 

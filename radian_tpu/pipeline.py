@@ -61,6 +61,14 @@ class BasecallOptions:
     assembly_mode: str = "first"  # reference parity; 'mean' = corrected
     read_batch: int = 8  # reads decoded concurrently (global mode)
     bucket_quantum: int = 4096
+    # Optional fixed bucket ladder: read lengths round up to the smallest
+    # entry, capping the number of compiled programs regardless of the
+    # read-length distribution (reads longer than the top entry fall back
+    # to quantum rounding).  With a ladder set, Basecaller.warmup()
+    # pre-compiles every bucket program (into the on-disk JAX compile
+    # cache when JAX_COMPILATION_CACHE_DIR is set) so fresh processes
+    # skip compilation entirely.
+    bucket_lengths: tuple[int, ...] | None = None
     reads_per_fasta: int = 1000
     # 'auto' = pallas kernel for no-LM decodes on TPU, XLA scan otherwise
     decode_backend: str = "auto"  # 'auto' | 'xla' | 'pallas'
@@ -426,6 +434,40 @@ class Basecaller:
 
     # -- host orchestration ----------------------------------------------
 
+    def _bucket(self, length: int) -> int:
+        """Bucket for a read length: smallest ladder entry ≥ length when a
+        ladder is configured (quantum rounding for overflow), else plain
+        quantum rounding."""
+        o = self.options
+        if o.bucket_lengths:
+            for b in sorted(o.bucket_lengths):
+                if length <= b:
+                    return b
+        return bucket_length(length, o.bucket_quantum)
+
+    def warmup(self, lengths: Sequence[int] | None = None) -> float:
+        """Pre-compile the bucket programs; returns elapsed seconds.
+
+        ``lengths`` defaults to the configured ``bucket_lengths`` ladder.
+        Each distinct bucket gets one synthetic single-read batch run
+        (same static shapes as production batches), so with
+        ``JAX_COMPILATION_CACHE_DIR`` set the compiled executables land
+        in the persistent cache and later processes start instantly
+        (see scripts/prewarm.py).
+        """
+        if lengths is None:
+            if not self.options.bucket_lengths:
+                raise ValueError(
+                    "warmup() needs `lengths` or options.bucket_lengths"
+                )
+            lengths = self.options.bucket_lengths
+        t0 = time.perf_counter()
+        for b in sorted({self._bucket(n) for n in lengths}):
+            sig = np.zeros(b, np.int16)
+            sig[::2] = 100  # non-zero MAD so the read isn't skipped
+            self.basecall_signals([sig])
+        return time.perf_counter() - t0
+
     def basecall_signals(
         self, signals: Sequence[np.ndarray]
     ) -> list[str | None]:
@@ -437,7 +479,7 @@ class Basecaller:
         batch: list[int] = []
         cur_bucket = None
         for i in order:
-            b = bucket_length(len(signals[i]), o.bucket_quantum)
+            b = self._bucket(len(signals[i]))
             if batch and (b != cur_bucket or len(batch) == o.read_batch):
                 batches.append((batch, cur_bucket))
                 batch = []
@@ -597,7 +639,7 @@ class Basecaller:
         for idx, read in enumerate(reads):
             n_total += 1
             ids[idx] = read.read_id
-            b = bucket_length(len(read.signal), o.bucket_quantum)
+            b = self._bucket(len(read.signal))
             pending.setdefault(b, []).append((idx, read.signal))
             if len(pending[b]) == o.read_batch:
                 run(b, pending.pop(b))
