@@ -38,19 +38,31 @@ def timed(fn, sync):
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("t_len", "slot_bits"))
-def run_scan(table, idx0, t_len, slot_bits):
+@functools.partial(jax.jit, static_argnames=("t_len", "slot_bits", "no_gather"))
+def run_scan(table, idx0, t_len, slot_bits, no_gather=False):
     """Scan of t_len steps; each step gathers rows for the current idx and
-    derives the next idx from the gathered values (serial dependency)."""
+    derives the next idx from the gathered values (serial dependency).
+    ``no_gather`` statically broadcasts row 0 (same chk/nxt math, zero
+    gather ops emitted) for a true no-gather floor."""
     n_rows = table.shape[0]
 
     def step(idx, _):
-        rows = table[idx]  # [W, N, R]
+        if no_gather:
+            rows = jnp.broadcast_to(
+                table[0][None, None], (*idx.shape, table.shape[-1])
+            )
+        else:
+            rows = table[idx]  # [W, N, R]
         rows = rows.astype(jnp.float32)
         if slot_bits:
-            # select an 8-float slot by the low context bits (as the real
-            # two-level layout would, slot = idx's low bits recomputed
-            # here from the gathered checksum to keep the dep chain)
+            # select an 8-float slot by the low context bits, as the real
+            # two-level layout would.  The slot comes from the carried
+            # idx (not from the gathered data); the serial dependency is
+            # maintained only through the chk -> nxt chain below.  Note
+            # slot = idx % nslot is fully correlated with the row index,
+            # whereas a real two-level layout splits one context into
+            # independent high-bit row / low-bit slot — close enough for
+            # this layout probe, but slots-per-row coverage differs.
             nslot = rows.shape[-1] // 8
             slot = (idx % nslot)[..., None]  # [W, N, 1]
             sel = jnp.arange(nslot, dtype=jnp.int32)[None, None] == slot
@@ -84,9 +96,9 @@ def main():
     sum1 = jax.jit(lambda x: x.sum())
     out = {}
 
-    def bench(tag, table, idx, slot_bits):
+    def bench(tag, table, idx, slot_bits, no_gather=False):
         def fn():
-            out["x"] = run_scan(table, idx, t_len, slot_bits)
+            out["x"] = run_scan(table, idx, t_len, slot_bits, no_gather)
         best = timed(fn, lambda: np.asarray(sum1(out["x"])))
         print(f"{tag:10s} {best*1e3:8.1f} ms  {best/t_len*1e6:6.2f} us/step",
               flush=True)
@@ -110,8 +122,10 @@ def main():
     t256 = rng.standard_normal((4**8, 256), dtype=np.float32)
     idx_8 = jnp.asarray(rng.integers(0, 4**8, size=(w, n)), jnp.int32)
     bench("lane256", jnp.asarray(t256), idx_8, True)
-    # no-gather floor: same scan math, table row 0 broadcast
-    bench("floor", jnp.asarray(t5[:1]), jnp.zeros((w, n), jnp.int32), False)
+    # no-gather floor: same scan math, row 0 statically broadcast so no
+    # gather op is emitted at all
+    bench("floor", jnp.asarray(t5[:1]), jnp.zeros((w, n), jnp.int32), False,
+          no_gather=True)
 
 
 if __name__ == "__main__":

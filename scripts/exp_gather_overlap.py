@@ -81,16 +81,19 @@ def main():
         print(f"{tag:28s} {best/t_len*1e6:6.2f} us/step", flush=True)
         return best / t_len
 
-    bench("gather x0 heavy 0", 0, 0)
+    b0 = bench("gather x0 heavy 0", 0, 0)
     g1 = bench("gather x1 (W rows)  heavy 0", 1, 0)
     g4 = bench("gather x4 (4W rows) heavy 0", 4, 0)
     g16 = bench("gather x16          heavy 0", 16, 0)
     h = bench("gather x0 heavy 40", 0, 40)
     gh = bench("gather x4 heavy 40", 4, 40)
-    print(f"\n4W-row gather alone {g4*1e6:.2f}; heavy alone {h*1e6:.2f}; "
-          f"together {gh*1e6:.2f} "
-          f"(sum {1e6*(g4+h):.2f} -> overlap saves "
-          f"{1e6*(g4+h-gh):.2f} us/step)")
+    # subtract the bare-scan baseline from each term so the fixed
+    # per-step overhead isn't double-counted in the predicted sum
+    print(f"\n4W-row gather alone {(g4-b0)*1e6:.2f}; "
+          f"heavy alone {(h-b0)*1e6:.2f}; "
+          f"together {(gh-b0)*1e6:.2f} "
+          f"(sum {1e6*(g4-b0+h-b0):.2f} -> overlap saves "
+          f"{1e6*((g4-b0)+(h-b0)-(gh-b0)):.2f} us/step)")
     print(f"row scaling: x1 {g1*1e6:.2f}  x4 {g4*1e6:.2f}  x16 {g16*1e6:.2f}")
 
 
