@@ -94,14 +94,16 @@ class BeamState(NamedTuple):
     valid: jnp.ndarray  # [W, N] slot holds a live beam
     # cached LM table rows for ctx_full / ctx_prev ([5, W, N]: 4 next-base
     # probs + entropy): contexts only change on extension, so carrying the
-    # rows means one W·N-row HBM gather per step (for the extended beams)
-    # instead of 2·W·N
+    # rows means one HBM gather per step instead of 2·W·N rows' worth
     lm_full: jnp.ndarray
     lm_prev: jnp.ndarray
 
 
-def _init_state(beam_width: int, n: int) -> BeamState:
+def _init_state(beam_width: int, n: int, lm_enabled: bool = True) -> BeamState:
     w = beam_width
+    # without the LM the row caches are never consulted: carry 1-element
+    # dummies so the scan state doesn't haul dead [5,4,W,N] buffers
+    lw, ln = (w, n) if lm_enabled else (1, 1)
     slot0 = jnp.arange(w)[:, None] == 0  # [W, 1] broadcasts over N
     neg = jnp.full((w, n), NEG, jnp.float32)
     zero = jnp.zeros((w, n), jnp.int32)
@@ -116,8 +118,8 @@ def _init_state(beam_width: int, n: int) -> BeamState:
         h1=jnp.ones((w, n), jnp.uint32),
         h2=jnp.ones((w, n), jnp.uint32),
         valid=jnp.broadcast_to(slot0, (w, n)),
-        lm_full=jnp.zeros((N_BASES + 1, w, n), jnp.float32),
-        lm_prev=jnp.zeros((N_BASES + 1, w, n), jnp.float32),
+        lm_full=jnp.zeros((N_BASES + 1, lw, ln), jnp.float32),
+        lm_prev=jnp.zeros((N_BASES + 1, lw, ln), jnp.float32),
     )
 
 
@@ -287,12 +289,9 @@ def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
             return jnp.sum(jnp.where(is_sel, cand, 0.0), axis=(0, 1))
 
         def from_parent(x):
-            if x.ndim == 2:
-                return jnp.sum(
-                    jnp.where(is_par, x, x.dtype.type(0)), axis=0
-                )
+            # is_par [W, N] broadcasts against any [..., W, N] state array
             return jnp.sum(
-                jnp.where(is_par[None], x, x.dtype.type(0)), axis=1
+                jnp.where(is_par, x, x.dtype.type(0)), axis=-2
             )
 
         p_ctx_full = from_parent(state.ctx_full)
@@ -313,8 +312,9 @@ def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
         ))
         rows_h1.append(jnp.where(is_ext, p_h1 * _H1_MULT + au, p_h1))
         rows_h2.append(jnp.where(is_ext, p_h2 * _H2_MULT + au, p_h2))
-        rows_lmf.append(from_parent(state.lm_full))  # parent rows; fresh
-        rows_lmp.append(from_parent(state.lm_prev))  # gather happens below
+        if lm_enabled:
+            rows_lmf.append(from_parent(state.lm_full))  # [5, N]
+            rows_lmp.append(from_parent(state.lm_prev))
         rows_bp.append(parent * 8 + append + 1)
         rows_isext.append(is_ext)
 
@@ -327,7 +327,12 @@ def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
 
     if lm_enabled:
         # one W·N-row gather for the extended beams; copies inherit rows.
-        # This is the single true gather kept per step (4^ctx-row table).
+        # This is the single true gather kept per step.  Measured
+        # (scripts/exp_gather_spec.py, TPU v5e): in-scan gather cost is
+        # per-INDEX (~11 ns/row, superlinear beyond ~2k rows) and does
+        # not overlap across steps even at dependency distance 2 — so
+        # speculative 4-extension prefetch ([4,W,N] rows) is a 4× loss,
+        # and W·N is the minimum index count the semantics admit.
         idx = jnp.where(is_ext_all, new_ctx_full, 0)
         fresh = lm_table[idx]  # [W, N, 5]
         fresh = jnp.moveaxis(fresh, -1, 0)  # [5, W, N]
@@ -358,8 +363,9 @@ def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
     # Masked (padded) timesteps leave the state untouched and emit
     # identity backpointers (parent = own slot, append = -1).
     def keep(n_, o_):
-        act = active if n_.ndim == 2 else active[None]
-        return jnp.where(act, n_, o_)
+        if n_ is o_:  # untouched component (e.g. LM dummies): don't let
+            return o_  # the where broadcast its dummy shape up to [.., N]
+        return jnp.where(active if n_.ndim == 2 else active[None], n_, o_)
 
     out_state = jax.tree.map(keep, new, state)
     ident_bp = w_col * 8
@@ -454,8 +460,8 @@ def beam_search_batch(
     )
 
     final, bp = jax.lax.scan(
-        step, _init_state(beam_width, n), (mats_tn, s_ents, active),
-        unroll=unroll,
+        step, _init_state(beam_width, n, lm_enabled),
+        (mats_tn, s_ents, active), unroll=unroll,
     )
     rev = backtrace_batch(bp)  # [T, N]
     return rev.T, final.length[0], final.pr_t[0]
