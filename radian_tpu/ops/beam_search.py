@@ -334,7 +334,28 @@ def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
         # speculative 4-extension prefetch ([4,W,N] rows) is a 4× loss,
         # and W·N is the minimum index count the semantics admit.
         idx = jnp.where(is_ext_all, new_ctx_full, 0)
-        fresh = lm_table[idx]  # [W, N, 5]
+        if isinstance(lm_table, tuple):
+            # packed sparse tables (KmerLM.compressed): two small-span
+            # gathers replace one gather over the 84 MB dense table.
+            # l1 (1 MB) yields presence bit + rank; real rows index the
+            # compact vals table, absent rows share vals[0] (uniform).
+            l1, vals = lm_table
+            word_rank = l1[idx >> 5]  # [W, N, 2]
+            word = jax.lax.bitcast_convert_type(
+                word_rank[..., 0], jnp.uint32)
+            rank = jax.lax.bitcast_convert_type(
+                word_rank[..., 1], jnp.uint32)
+            bitpos = (idx & 31).astype(jnp.uint32)
+            below = word & ((jnp.uint32(1) << bitpos) - jnp.uint32(1))
+            present = (word >> bitpos) & jnp.uint32(1)
+            cidx = jnp.where(
+                present == jnp.uint32(1),
+                rank + jnp.uint32(1) + jax.lax.population_count(below),
+                jnp.uint32(0),
+            ).astype(jnp.int32)
+            fresh = vals[cidx]  # [W, N, 5]
+        else:
+            fresh = lm_table[idx]  # [W, N, 5]
         fresh = jnp.moveaxis(fresh, -1, 0)  # [5, W, N]
         parent_full = jnp.stack(rows_lmf, axis=1)  # [5, W, N]
         new_lm_full = jnp.where(is_ext_all[None], fresh, parent_full)
@@ -413,6 +434,8 @@ def beam_search_batch(
     beam_width: int = 6,
     lm_probs=None,
     lm_ent=None,
+    lm_l1=None,
+    lm_vals=None,
     s_threshold: float = 0.5,
     r_threshold: float = 0.5,
     ctx_len: int = 11,
@@ -425,6 +448,9 @@ def beam_search_batch(
       mats: ``[N, T, 5]`` per-timestep class probabilities (blank last).
       lengths: ``[N]`` true timestep counts (rows beyond are masked).
       lm_probs/lm_ent: dense LM tables (``KmerLM``) when ``lm_enabled``.
+      lm_l1/lm_vals: packed sparse tables (``KmerLM.compressed()``);
+        when given they replace the dense tables with bit-identical
+        values and a much smaller random-access working set.
 
     Returns:
       ``(rev_labels [N, T] int32, n_labels [N] int32, best_logp [N] f32)``
@@ -434,7 +460,9 @@ def beam_search_batch(
     """
     mats = mats.astype(jnp.float32)
     n, t, _ = mats.shape
-    if lm_enabled:
+    if lm_enabled and lm_l1 is not None:
+        lm_table = (lm_l1, lm_vals)
+    elif lm_enabled:
         lm_table = jnp.concatenate(
             [lm_probs, lm_ent[:, None]], axis=1
         )  # [4^ctx, 5]

@@ -194,9 +194,20 @@ def _prep_model_assemble_strips(
     return mats, t_reads, mads
 
 
+def _lm_kwargs(lm_t1, lm_t2, lm_packed: bool) -> dict:
+    """Route the two replicated LM arrays to the right decoder kwargs:
+    (probs, entropy) dense tables, or (l1, vals) packed sparse tables
+    (``KmerLM.compressed()``, bit-identical values, ~20x smaller
+    random-access span)."""
+    if lm_packed:
+        return {"lm_l1": lm_t1, "lm_vals": lm_t2}
+    return {"lm_probs": lm_t1, "lm_ent": lm_t2}
+
+
 def _decode_assembled(
-    mats, t_reads, lm_probs, lm_ent,
-    *, opts: BasecallOptions, lm_enabled: bool, use_pallas: bool = False,
+    mats, t_reads, lm_t1, lm_t2,
+    *, opts: BasecallOptions, lm_enabled: bool, lm_packed: bool = False,
+    use_pallas: bool = False,
 ):
     if use_pallas and not lm_enabled:
         from radian_tpu.ops.beam_pallas import beam_search_pallas
@@ -209,21 +220,20 @@ def _decode_assembled(
             mats,
             t_reads,
             beam_width=opts.beam_width,
-            lm_probs=lm_probs,
-            lm_ent=lm_ent,
             s_threshold=opts.sig_threshold,
             r_threshold=opts.rna_threshold,
             ctx_len=opts.context_len,
             lm_enabled=lm_enabled,
+            **_lm_kwargs(lm_t1, lm_t2, lm_packed),
         )
     # int8 halves/quarters the host fetch (labels are in {-1, 0..3})
     return rev.astype(jnp.int8), n_lab
 
 
 def _assemble_and_decode(
-    probs, n_wins, pad_ends, lm_probs, lm_ent,
+    probs, n_wins, pad_ends, lm_t1, lm_t2,
     *, opts: BasecallOptions, out_len: int, lm_enabled: bool,
-    use_pallas: bool = False,
+    lm_packed: bool = False, use_pallas: bool = False,
 ):
     def one(p, nw, pe):
         return assemble_matrices(
@@ -243,12 +253,11 @@ def _assemble_and_decode(
             mats,
             t_reads,
             beam_width=opts.beam_width,
-            lm_probs=lm_probs,
-            lm_ent=lm_ent,
             s_threshold=opts.sig_threshold,
             r_threshold=opts.rna_threshold,
             ctx_len=opts.context_len,
             lm_enabled=lm_enabled,
+            **_lm_kwargs(lm_t1, lm_t2, lm_packed),
         )
     return rev.astype(jnp.int8), n_lab, t_reads
 
@@ -326,14 +335,23 @@ class Basecaller:
                 f"LM context_len {lm.context_len} != options.context_len "
                 f"{o.context_len}"
             )
-        self._lm_probs = (
-            jnp.asarray(lm.probs) if lm is not None
-            else jnp.ones((1, 4), jnp.float32)
-        )
-        self._lm_ent = (
-            jnp.asarray(lm.entropy) if lm is not None
-            else jnp.zeros((1,), jnp.float32)
-        )
+        # Prefer the packed sparse representation when it actually
+        # shrinks the decoder's random-access span (the reference LM
+        # defines ~10^5 of 4^11 contexts; the gather over the dense
+        # 84 MB table is span-latency-bound — scripts/exp_lm_tablesize).
+        self._lm_packed = False
+        if lm is not None:
+            l1, vals = lm.compressed()
+            if l1.nbytes + vals.nbytes < lm.probs.nbytes // 4:
+                self._lm_packed = True
+                self._lm_t1 = jnp.asarray(l1)
+                self._lm_t2 = jnp.asarray(vals)
+            else:
+                self._lm_t1 = jnp.asarray(lm.probs)
+                self._lm_t2 = jnp.asarray(lm.entropy)
+        else:
+            self._lm_t1 = jnp.ones((1, 4), jnp.float32)
+            self._lm_t2 = jnp.zeros((1,), jnp.float32)
         if o.decode_backend == "pallas":
             use_pallas = True
         elif o.decode_backend == "xla":
@@ -385,14 +403,14 @@ class Basecaller:
         self._decode_assembled = self._device_fn(
             functools.partial(
                 _decode_assembled, opts=o, lm_enabled=lm is not None,
-                use_pallas=use_pallas,
+                lm_packed=self._lm_packed, use_pallas=use_pallas,
             ),
             in_specs=(P("data"), P("data"), P(), P()),
         )
         self._global_decode = self._device_fn(
             functools.partial(
                 _assemble_and_decode, opts=o, lm_enabled=lm is not None,
-                use_pallas=use_pallas,
+                lm_packed=self._lm_packed, use_pallas=use_pallas,
             ),
             in_specs=(P("data"), P("data"), P("data"), P(), P()),
             static_argnames=("out_len",),
@@ -537,7 +555,7 @@ class Basecaller:
                     n_strips=bucket // o.step_size,
                 )
             rev, n_lab = self._decode_assembled(
-                mats, t_reads, self._lm_probs, self._lm_ent
+                mats, t_reads, self._lm_t1, self._lm_t2
             )
             return ("global", idxs, real, mads, rev, None)
 
@@ -549,7 +567,7 @@ class Basecaller:
         if o.decode_type == "global":
             rev, n_lab, t_reads = self._global_decode(
                 probs, n_wins, pad_ends,
-                self._lm_probs, self._lm_ent, out_len=bucket,
+                self._lm_t1, self._lm_t2, out_len=bucket,
             )
             return ("global", idxs, real, mads, rev, None)
         rev, n_lab = self._chunk_decode(probs, n_wins, pad_ends)

@@ -20,17 +20,49 @@ def kmer_level_table(rng: np.random.Generator, k: int = 3) -> np.ndarray:
     return rng.permutation(np.linspace(-2.0, 2.0, n)).astype(np.float32)
 
 
-def synth_read(
+def markov_labels(
+    rng: np.random.Generator, n_bases: int, trans: np.ndarray
+) -> np.ndarray:
+    """Base sequence from a first-order Markov chain.
+
+    ``trans[b]`` is the next-base distribution after base ``b``.  Used to
+    generate reads whose true 11-mer LM is known analytically
+    (:func:`markov_kmer_lm`), so LM-fusion accuracy can be evaluated
+    against ground truth.
+    """
+    labels = np.empty(n_bases, np.int32)
+    labels[0] = rng.integers(0, N_BASES)
+    for i in range(1, n_bases):
+        labels[i] = rng.choice(N_BASES, p=trans[labels[i - 1]])
+    return labels
+
+
+def markov_kmer_lm(trans: np.ndarray, context_len: int = 11):
+    """Dense :class:`~radian_tpu.lm.kmer.KmerLM` of a first-order chain.
+
+    For a first-order chain the next-base distribution given an 11-base
+    context depends only on the context's last base — which is the low
+    base-4 digit of the packed context (pack_context is big-endian).
+    """
+    from radian_tpu.lm.kmer import KmerLM, _entropy_rows
+
+    trans = np.asarray(trans, np.float32)
+    reps = N_BASES ** (context_len - 1)
+    probs = np.tile(trans, (reps, 1)).astype(np.float32)  # row ctx -> ctx%4
+    return KmerLM(context_len, probs, _entropy_rows(probs.astype(np.float64)))
+
+
+def synth_signal(
     rng: np.random.Generator,
-    n_bases: int,
+    labels: np.ndarray,
     levels: np.ndarray,
     k: int = 3,
     dwell_mean: float = 9.0,
     dwell_std: float = 2.0,
     noise: float = 0.25,
-):
-    """One synthetic read: returns (signal f32[n_samples], labels i32[n_bases])."""
-    labels = rng.integers(0, N_BASES, size=n_bases).astype(np.int32)
+) -> np.ndarray:
+    """Squiggle for a given base sequence (k-mer levels, noisy dwells)."""
+    n_bases = len(labels)
     ctx = np.zeros(n_bases, np.int64)
     for i in range(n_bases):
         v = 0
@@ -42,7 +74,31 @@ def synth_read(
     )
     sig = np.repeat(levels[ctx % len(levels)], dwells)
     sig = sig + rng.normal(0, noise, size=sig.shape).astype(np.float32)
-    return sig.astype(np.float32), labels
+    return sig.astype(np.float32)
+
+
+def synth_read(
+    rng: np.random.Generator,
+    n_bases: int,
+    levels: np.ndarray,
+    k: int = 3,
+    dwell_mean: float = 9.0,
+    dwell_std: float = 2.0,
+    noise: float = 0.25,
+    trans: np.ndarray | None = None,
+):
+    """One synthetic read: returns (signal f32[n_samples], labels i32[n_bases]).
+
+    ``trans`` switches the label source from uniform i.i.d. bases to the
+    first-order Markov chain it describes.
+    """
+    if trans is None:
+        labels = rng.integers(0, N_BASES, size=n_bases).astype(np.int32)
+    else:
+        labels = markov_labels(rng, n_bases, trans)
+    sig = synth_signal(rng, labels, levels, k=k, dwell_mean=dwell_mean,
+                       dwell_std=dwell_std, noise=noise)
+    return sig, labels
 
 
 def synth_windows(

@@ -1,0 +1,214 @@
+"""Trained-weights accuracy run: train full-size model, measure identity.
+
+The round-2 gap (VERDICT "what's missing" #2): every parity/bench
+artifact used seed-0 random weights, so no read-identity number existed
+for a *trained* model through the full global+LM pipeline, and the bf16
+production forward's accuracy delta vs f32 was unquantified.
+
+This script
+1. trains the full-size (256-filter) sig2seq on synthetic squiggles
+   (RNA002-realistic ~40-sample dwells) to convergence,
+2. basecalls held-out synthetic reads drawn from a biased first-order
+   Markov chain through the complete global pipeline, and
+3. reports median/mean read identity (eval/align.py, the reference's
+   accuracy contract at reference radian/align.py:93-109) for
+   f32+LM, bf16+LM and bf16 no-LM forwards.
+
+The Markov chain's exact 11-mer LM (utils/synthetic.markov_kmer_lm) has
+per-context entropy below the default r_threshold, so the fusion gate
+genuinely fires on uncertain signal — the LM path is exercised with a
+*true* LM, not a random one.
+
+Usage:
+  python scripts/train_accuracy_run.py                # full run on TPU
+  python scripts/train_accuracy_run.py --quick --cpu  # smoke test
+"""
+
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path("bench_data/.jax_cache").absolute()))
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+
+def make_trans(p: float) -> np.ndarray:
+    """Biased first-order chain: after base b, base (b+1)%4 has prob p."""
+    trans = np.full((4, 4), (1.0 - p) / 3.0, np.float32)
+    for b in range(4):
+        trans[b, (b + 1) % 4] = p
+    return trans
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--window", type=int, default=1024)
+    ap.add_argument("--dwell", type=float, default=40.0)
+    ap.add_argument("--dwell-std", type=float, default=8.0)
+    ap.add_argument("--noise", type=float, default=0.25)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--train-batches", type=int, default=120,
+                    help="distinct pre-generated batches (cycled)")
+    ap.add_argument("--eval-reads", type=int, default=128)
+    ap.add_argument("--read-bases", type=int, default=370)
+    ap.add_argument("--markov-p", type=float, default=0.9)
+    ap.add_argument("--out", default="bench_data/trained")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny model / few steps / few reads")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse <out>/params.npz from a previous run")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from radian_tpu.config import default_config
+    from radian_tpu.eval.align import read_identity
+    from radian_tpu.models.checkpoint import load_params_npz, save_params_npz
+    from radian_tpu.pipeline import Basecaller, BasecallOptions
+    from radian_tpu.train.trainer import TrainConfig, Trainer
+    from radian_tpu.utils.inspect import BASES
+    from radian_tpu.utils.synthetic import (
+        kmer_level_table,
+        markov_kmer_lm,
+        synth_read,
+        synth_windows,
+    )
+
+    if args.quick:
+        args.steps = min(args.steps, 60)
+        args.batch = 16
+        args.train_batches = 12
+        args.eval_reads = 4
+        args.read_bases = 60
+        args.dwell = 12.0
+        args.dwell_std = 2.0
+
+    print(f"devices: {jax.devices()}", flush=True)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(7)
+    levels = kmer_level_table(rng)
+    trans = make_trans(args.markov_p)
+
+    cfg = default_config()
+    cfg.model.timesteps = args.window
+    cfg.data.window_size = args.window
+    cfg.train.batch_size = args.batch
+    cfg.train.opt.adam.lr = args.lr
+    if args.quick:
+        cfg.model.tcn.nb_filters = 48
+        cfg.model.relu_units = 48
+        cfg.model.tcn.dilations = [1, 2, 4, 8]
+
+    synth_kw = dict(dwell_mean=args.dwell, dwell_std=args.dwell_std,
+                    noise=args.noise)
+
+    if args.skip_train:
+        params = load_params_npz(out / "params.npz")
+        print(f"loaded params from {out / 'params.npz'}", flush=True)
+    else:
+        trainer = Trainer(cfg, TrainConfig(
+            checkpoint_dir=str((out / "ckpt").absolute()),
+            log_dir=str(out / "logs"),
+            compute_dtype="bfloat16",
+        ))
+        print(f"generating {args.train_batches} train + 8 val batches "
+              f"of {args.batch}x{args.window}...", flush=True)
+        t0 = time.perf_counter()
+        batches = [
+            synth_windows(rng, args.batch, window=args.window,
+                          levels=levels, **synth_kw)
+            for _ in range(args.train_batches)
+        ]
+        val = [
+            synth_windows(rng, args.batch, window=args.window,
+                          levels=levels, **synth_kw)
+            for _ in range(8)
+        ]
+        print(f"  ...{time.perf_counter() - t0:.1f}s", flush=True)
+
+        steps_per_epoch = 100 if not args.quick else 20
+        n_epochs = max(1, args.steps // steps_per_epoch)
+        train_iter = itertools.cycle(batches)
+        t0 = time.perf_counter()
+        for ep in range(n_epochs):
+            tl = trainer.train_epoch(
+                itertools.islice(train_iter, steps_per_epoch), epoch=ep)
+            vl = trainer.evaluate(val, epoch=ep)
+            trainer.save_checkpoint(ep, val_loss=vl)
+            print(f"epoch {ep}: train ctc {tl:.3f}  val ctc {vl:.3f}  "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        trainer.restore_best_checkpoint()
+        params = trainer.state.params
+        save_params_npz(params, out / "params.npz")
+
+    # held-out reads from the Markov chain
+    rng_eval = np.random.default_rng(1234)
+    reads = [
+        synth_read(rng_eval, args.read_bases, levels, trans=trans,
+                   **synth_kw)
+        for _ in range(args.eval_reads)
+    ]
+    sigs = [(r[0] * 100 + 500).astype(np.int16) for r in reads]
+    lm = markov_kmer_lm(trans, 11)
+    print(f"LM entropy: min {lm.entropy.min():.3f} max {lm.entropy.max():.3f} "
+          f"(r_threshold default 0.5)", flush=True)
+
+    results = {}
+    for tag, dtype, use_lm in (
+        ("f32+LM", "float32", True),
+        ("bf16+LM", "bfloat16", True),
+        ("bf16 no-LM", "bfloat16", False),
+    ):
+        bc = Basecaller(
+            params, cfg, lm=lm if use_lm else None,
+            compute_dtype=dtype,
+            options=BasecallOptions(
+                read_batch=min(args.eval_reads, 128),
+                bucket_quantum=4096,
+            ),
+        )
+        t0 = time.perf_counter()
+        seqs = bc.basecall_signals(sigs)
+        dt = time.perf_counter() - t0
+        accs = []
+        for (sig, labels), seq in zip(reads, seqs):
+            truth = "".join(BASES[b] for b in labels)
+            called = seq[::-1] if seq else ""  # decoder order
+            accs.append(read_identity(truth, called)["accuracy"]
+                        if called else 0.0)
+        accs = np.array(accs)
+        results[tag] = {
+            "median_identity": float(np.median(accs)),
+            "mean_identity": float(np.mean(accs)),
+            "min_identity": float(accs.min()),
+            "reads": len(accs),
+            "seconds": dt,
+        }
+        print(f"{tag:12s} median {np.median(accs):6.2f}%  "
+              f"mean {np.mean(accs):6.2f}%  min {accs.min():6.2f}%  "
+              f"({dt:.1f}s)", flush=True)
+
+    with open(out / "accuracy.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out / 'accuracy.json'}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

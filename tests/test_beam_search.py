@@ -142,3 +142,38 @@ def test_fasta_orientation(rng):
     fwd = labels_to_seq(np.asarray(rev[0]), reverse=True)
     rev_seq = labels_to_seq(np.asarray(rev[0]))
     assert rev_seq == fwd[::-1]
+
+
+def test_packed_lm_matches_dense(rng):
+    """KmerLM.compressed(): two-level packed tables give bit-identical
+    decodes (labels, lengths, scores) to the dense tables, and the
+    provenance-free dedup fallback builds the same packing."""
+    import jax.numpy as jnp
+
+    from radian_tpu.lm.kmer import KmerLM
+
+    ctx_len = 6
+    lm = build_dense_tables(
+        random_kmer_model(rng, context_len=ctx_len, n_contexts=500,
+                          concentration=0.2),
+        ctx_len,
+    )
+    l1, vals = lm.compressed()
+    assert vals.shape[0] == 501  # uniform row + 500 real rows
+    l1b, valsb = KmerLM(ctx_len, lm.probs, lm.entropy, None).compressed()
+    np.testing.assert_array_equal(l1, l1b)
+    np.testing.assert_array_equal(vals, valsb)
+
+    t = 120
+    mats = _random_mats(rng, 6, t)
+    lens = np.int32([t, t // 2, t, 17, t, t - 1])
+    dense = beam_search_batch(
+        mats, lens, beam_width=6, lm_probs=jnp.asarray(lm.probs),
+        lm_ent=jnp.asarray(lm.entropy), ctx_len=ctx_len, lm_enabled=True,
+    )
+    packed = beam_search_batch(
+        mats, lens, beam_width=6, lm_l1=jnp.asarray(l1),
+        lm_vals=jnp.asarray(vals), ctx_len=ctx_len, lm_enabled=True,
+    )
+    for a, b in zip(dense, packed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
