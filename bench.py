@@ -27,6 +27,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 REPLICAS = int(os.environ.get("BENCH_REPLICAS", 256))  # 5 reads x 256
 READ_BATCH = int(os.environ.get("BENCH_READ_BATCH", 256))
 QUANTUM = int(os.environ.get("BENCH_QUANTUM", 1024))
+# 'global' (headline: global assembly + LM fusion) or 'chunk'
+# (per-window no-LM decode + host consensus, reference basecall.py:111-123;
+# also reports the device-consensus agreement rate)
+DECODE = os.environ.get("BENCH_DECODE", "global")
 
 
 def log(*a):
@@ -66,13 +70,20 @@ def main():
     # bucket, at 5 bucket programs (compile-cached on disk across runs)
     import jax.numpy as jnp
 
-    bc = Basecaller(
-        params,
-        lm=lm,
-        compute_dtype=jnp.bfloat16,
-        options=BasecallOptions(read_batch=READ_BATCH,
-                                bucket_quantum=QUANTUM),
-    )
+    if DECODE == "chunk":
+        opts = BasecallOptions(
+            decode_type="chunk", read_batch=READ_BATCH,
+            bucket_quantum=QUANTUM,
+        )
+        bc = Basecaller(params, compute_dtype=jnp.bfloat16, options=opts)
+    else:
+        bc = Basecaller(
+            params,
+            lm=lm,
+            compute_dtype=jnp.bfloat16,
+            options=BasecallOptions(read_batch=READ_BATCH,
+                                    bucket_quantum=QUANTUM),
+        )
 
     # warmup: compile each bucket program
     log("warmup (compiling bucket programs)...")
@@ -91,19 +102,40 @@ def main():
     log(f"{dt:.2f}s -> {reads_per_s:.2f} reads/s, "
         f"{samples_per_s / 1e6:.2f} Msamples/s")
 
+    if DECODE == "chunk":
+        # device-consensus agreement: same decoded fragments, stitcher
+        # swapped from the host difflib parity path to the jitted
+        # offset-correlation stitcher
+        import dataclasses
+
+        bc_dev = Basecaller(
+            params, compute_dtype=jnp.bfloat16,
+            options=dataclasses.replace(bc.options, consensus="device"),
+        )
+        dev_seqs = bc_dev.basecall_signals(signals[: len(reads) * 8])
+        ref_seqs = seqs[: len(reads) * 8]
+        agree = sum(a == b for a, b in zip(ref_seqs, dev_seqs))
+        log(f"device-consensus agreement: {agree}/{len(dev_seqs)}")
+
     baseline_path = Path("bench_data/baseline.json")
     vs = None
     if baseline_path.exists():
         base = json.loads(baseline_path.read_text())
-        vs = reads_per_s / base["reads_per_s"]
-        log(f"baseline {base['reads_per_s']:.3f} reads/s -> {vs:.1f}x")
+        key = ("chunk_reads_per_s" if DECODE == "chunk" else "reads_per_s")
+        base_rps = base.get(key) or base["reads_per_s"]
+        vs = reads_per_s / base_rps
+        log(f"baseline {base_rps:.3f} reads/s -> {vs:.1f}x")
 
-    print(json.dumps({
-        "metric": "basecall_throughput_global_lm",
+    out = {
+        "metric": ("basecall_throughput_chunk" if DECODE == "chunk"
+                   else "basecall_throughput_global_lm"),
         "value": round(reads_per_s, 3),
         "unit": "reads/s/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+    }
+    if DECODE == "chunk":
+        out["device_consensus_agreement"] = f"{agree}/{len(dev_seqs)}"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

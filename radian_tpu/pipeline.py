@@ -335,14 +335,18 @@ class Basecaller:
                 f"LM context_len {lm.context_len} != options.context_len "
                 f"{o.context_len}"
             )
-        # Prefer the packed sparse representation when it actually
-        # shrinks the decoder's random-access span (the reference LM
-        # defines ~10^5 of 4^11 contexts; the gather over the dense
-        # 84 MB table is span-latency-bound — scripts/exp_lm_tablesize).
+        # Prefer the packed sparse representation only when the packed
+        # working set is small enough to win: the decoder's dense-table
+        # gather is span-latency-bound (scripts/exp_lm_tablesize: 67 MB
+        # ~ +14 us/step, tiny ~ +4 at N=256), but the packed path pays
+        # TWO chained gathers' fixed mechanics (~3.5 us each), so it
+        # only beats the dense 67 MB gather when l1+vals stay under
+        # ~2 MB (measured: 1.4 MB packed 13.4 us/step vs 24.6 dense;
+        # 5.0 MB packed 29.9 — worse).
         self._lm_packed = False
         if lm is not None:
             l1, vals = lm.compressed()
-            if l1.nbytes + vals.nbytes < lm.probs.nbytes // 4:
+            if l1.nbytes + vals.nbytes < 2_000_000:
                 self._lm_packed = True
                 self._lm_t1 = jnp.asarray(l1)
                 self._lm_t2 = jnp.asarray(vals)

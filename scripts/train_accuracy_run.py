@@ -93,6 +93,7 @@ def main():
     if args.quick:
         args.steps = min(args.steps, 60)
         args.batch = 16
+        args.window = 256
         args.train_batches = 12
         args.eval_reads = 4
         args.read_bases = 60

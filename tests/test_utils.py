@@ -38,3 +38,30 @@ def test_synth_windows_schema(rng):
         n = batch["label_length"][i]
         assert set(np.unique(batch["labels"][i][:n])) <= {0, 1, 2, 3}
         assert np.all(batch["labels"][i][n:] == 0)
+
+
+def test_markov_synthetics(rng):
+    from radian_tpu.utils.synthetic import (
+        markov_kmer_lm,
+        markov_labels,
+        synth_read,
+    )
+
+    trans = np.full((4, 4), 0.1 / 3, np.float32)
+    for b in range(4):
+        trans[b, (b + 1) % 4] = 0.9
+    labels = markov_labels(rng, 2000, trans)
+    # favoured transition should dominate
+    favoured = np.mean(labels[1:] == (labels[:-1] + 1) % 4)
+    assert 0.85 < favoured < 0.95
+
+    lm = markov_kmer_lm(trans, context_len=5)
+    assert lm.probs.shape == (4**5, 4)
+    # row for context ending in base b must equal trans[b]
+    for ctx in (0, 1, 2, 3, 17, 255, 4**5 - 1):
+        np.testing.assert_allclose(lm.probs[ctx], trans[ctx % 4], rtol=1e-6)
+    # entropy below the default r_threshold -> fusion gate can fire
+    assert lm.entropy.max() < 0.5
+
+    sig, labs = synth_read(rng, 50, kmer_level_table(rng), trans=trans)
+    assert sig.ndim == 1 and len(labs) == 50
