@@ -23,14 +23,18 @@ from pathlib import Path
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       str(Path("bench_data/.jax_cache").absolute()))
 
-# experiment knobs (defaults = the recorded configuration)
-REPLICAS = int(os.environ.get("BENCH_REPLICAS", 256))  # 5 reads x 256
-READ_BATCH = int(os.environ.get("BENCH_READ_BATCH", 256))
-QUANTUM = int(os.environ.get("BENCH_QUANTUM", 1024))
 # 'global' (headline: global assembly + LM fusion) or 'chunk'
 # (per-window no-LM decode + host consensus, reference basecall.py:111-123;
 # also reports the device-consensus agreement rate)
 DECODE = os.environ.get("BENCH_DECODE", "global")
+
+# experiment knobs (defaults = the recorded configuration); chunk mode
+# holds the full [N, windows, 1024, 5] per-window probs on device, so
+# its read batch is capped (256 OOMs a 16 GB v5e)
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", 256))  # 5 reads x 256
+READ_BATCH = int(os.environ.get(
+    "BENCH_READ_BATCH", 256 if DECODE == "global" else 64))
+QUANTUM = int(os.environ.get("BENCH_QUANTUM", 1024))
 
 
 def log(*a):

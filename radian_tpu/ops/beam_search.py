@@ -495,6 +495,27 @@ def beam_search_batch(
     return rev.T, final.length[0], final.pr_t[0]
 
 
+def rows_to_seqs(rev_rows: np.ndarray, reverse: bool = True,
+                 bases: str = "ACGT") -> list[str]:
+    """Vectorised :func:`labels_to_seq` over a ``[n, T]`` label block.
+
+    One numpy pass for all rows (chunk mode renders ~90 window fragments
+    per read — a python-level per-row loop costs more than the decode).
+    ``reverse=True`` yields decoder-order strings (the chunk-consensus
+    input order, reference basecall.py:111-121).
+    """
+    arr = np.asarray(rev_rows)
+    if reverse:
+        arr = arr[:, ::-1]
+    mask = arr >= 0
+    counts = mask.sum(1)
+    lut = np.frombuffer(bases.encode(), np.uint8)
+    blob = lut[arr[mask]].tobytes()  # row-major: rows stay contiguous
+    offs = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return [blob[offs[k]:offs[k + 1]].decode() for k in range(len(counts))]
+
+
 def labels_to_seq(rev_labels: np.ndarray, reverse: bool = False,
                   bases: str = "ACGT") -> str:
     """Render a backtraced label row into a base string.

@@ -35,7 +35,11 @@ from radian_tpu.lm.kmer import KmerLM, load_kmer_json
 from radian_tpu.models.checkpoint import load_params_npz
 from radian_tpu.models.sig2seq import SigToSeq, build_model, init_params
 from radian_tpu.ops.assembly import assemble_matrices
-from radian_tpu.ops.beam_search import beam_search_batch, labels_to_seq
+from radian_tpu.ops.beam_search import (
+    beam_search_batch,
+    labels_to_seq,
+    rows_to_seqs,
+)
 from radian_tpu.ops.consensus import assemble_fragments
 from radian_tpu.ops.preprocess import (
     bucket_length,
@@ -592,10 +596,7 @@ class Basecaller:
         for j, i in enumerate(idxs[:real]):
             if bad[j]:
                 continue
-            frags = [
-                labels_to_seq(rev[j, k], reverse=True)
-                for k in range(int(n_wins[j]))
-            ]
+            frags = rows_to_seqs(rev[j, : int(n_wins[j])])
             if o.consensus == "device":
                 from radian_tpu.ops.consensus_device import (
                     assemble_fragments_device,

@@ -1,5 +1,12 @@
 """LM-table gather layout shootout (in-scan, TPU).
 
+NOTE: superseded by scripts/exp_lm_tablesize.py, which sweeps the
+*production decoder* itself (this proxy's [W, N, 5] layout adds its own
+lane-hostile relayout overhead — its 12.8 us/step no-gather floor vs
+the real decoder's 6.2 us no-LM step).  Headline conclusion from both:
+gather cost tracks the table's random-access span, so layout changes at
+constant span (lane128 etc.) don't pay; shrinking the span does.
+
 The decoder's per-step cost with LM fusion is dominated by ONE gather of
 [W*N] rows from the dense 12-mer table (ops/beam_search.py:328-337).
 This experiment isolates that gather inside a scan with the same
