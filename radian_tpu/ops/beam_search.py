@@ -495,6 +495,26 @@ def beam_search_batch(
     return rev.T, final.length[0], final.pr_t[0]
 
 
+def pack_labels(rev: jnp.ndarray) -> jnp.ndarray:
+    """Nibble-pack a device label array along its last axis (device side).
+
+    Labels are in {-1, 0..3}; ``label+1`` fits 4 bits, so two labels
+    share a byte — halving the device→host fetch (the tunnel transfer
+    is a visible slice of chunk-mode runtime).  Last axis must be even.
+    """
+    v = (rev + 1).astype(jnp.uint8)
+    return v[..., 0::2] | (v[..., 1::2] << 4)
+
+
+def unpack_labels(packed: np.ndarray) -> np.ndarray:
+    """Host-side inverse of :func:`pack_labels` → int8 labels."""
+    packed = np.asarray(packed)
+    out = np.empty((*packed.shape[:-1], packed.shape[-1] * 2), np.int8)
+    out[..., 0::2] = (packed & 15).astype(np.int8) - 1
+    out[..., 1::2] = (packed >> 4).astype(np.int8) - 1
+    return out
+
+
 def rows_to_seqs(rev_rows: np.ndarray, reverse: bool = True,
                  bases: str = "ACGT") -> list[str]:
     """Vectorised :func:`labels_to_seq` over a ``[n, T]`` label block.

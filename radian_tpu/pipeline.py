@@ -38,7 +38,9 @@ from radian_tpu.ops.assembly import assemble_matrices
 from radian_tpu.ops.beam_search import (
     beam_search_batch,
     labels_to_seq,
+    pack_labels,
     rows_to_seqs,
+    unpack_labels,
 )
 from radian_tpu.ops.consensus import assemble_fragments
 from radian_tpu.ops.preprocess import (
@@ -230,8 +232,8 @@ def _decode_assembled(
             lm_enabled=lm_enabled,
             **_lm_kwargs(lm_t1, lm_t2, lm_packed),
         )
-    # int8 halves/quarters the host fetch (labels are in {-1, 0..3})
-    return rev.astype(jnp.int8), n_lab
+    # nibble-pack: two labels per byte for the host fetch
+    return pack_labels(rev), n_lab
 
 
 def _assemble_and_decode(
@@ -263,7 +265,7 @@ def _assemble_and_decode(
             lm_enabled=lm_enabled,
             **_lm_kwargs(lm_t1, lm_t2, lm_packed),
         )
-    return rev.astype(jnp.int8), n_lab, t_reads
+    return pack_labels(rev), n_lab, t_reads
 
 
 def _decode_windows(probs, n_wins, pad_ends, *, opts: BasecallOptions,
@@ -293,7 +295,7 @@ def _decode_windows(probs, n_wins, pad_ends, *, opts: BasecallOptions,
             beam_width=opts.beam_width,
             lm_enabled=False,
         )
-    return rev.astype(jnp.int8).reshape(n, w, t), n_lab.reshape(n, w)
+    return pack_labels(rev).reshape(n, w, t // 2), n_lab.reshape(n, w)
 
 
 class Basecaller:
@@ -586,7 +588,7 @@ class Basecaller:
         mode, idxs, real, mads, rev, n_wins = pending
         mads = np.asarray(mads)
         bad = ~np.isfinite(mads) | (mads == 0)
-        rev = np.asarray(rev)
+        rev = unpack_labels(rev)
         if mode == "global":
             for j, i in enumerate(idxs[:real]):
                 if not bad[j]:

@@ -68,6 +68,9 @@ def main():
                     help="tiny model / few steps / few reads")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse <out>/params.npz from a previous run")
+    ap.add_argument("--chunk", action="store_true",
+                    help="also evaluate chunk mode (reference difflib vs "
+                         "device consensus) with the trained weights")
     args = ap.parse_args()
 
     import jax
@@ -171,19 +174,29 @@ def main():
     print(f"LM entropy: min {lm.entropy.min():.3f} max {lm.entropy.max():.3f} "
           f"(r_threshold default 0.5)", flush=True)
 
+    configs = [
+        ("f32+LM", "float32", True, None),
+        ("bf16+LM", "bfloat16", True, None),
+        ("bf16 no-LM", "bfloat16", False, None),
+    ]
+    if args.chunk:
+        configs += [
+            ("bf16 chunk ref-cons", "bfloat16", False, "reference"),
+            ("bf16 chunk dev-cons", "bfloat16", False, "device"),
+        ]
     results = {}
-    for tag, dtype, use_lm in (
-        ("f32+LM", "float32", True),
-        ("bf16+LM", "bfloat16", True),
-        ("bf16 no-LM", "bfloat16", False),
-    ):
+    seqs_by_tag = {}
+    for tag, dtype, use_lm, consensus in configs:
+        opt_kw = dict(
+            read_batch=min(args.eval_reads, 128 if consensus is None else 32),
+            bucket_quantum=4096,
+        )
+        if consensus is not None:
+            opt_kw.update(decode_type="chunk", consensus=consensus)
         bc = Basecaller(
             params, cfg, lm=lm if use_lm else None,
             compute_dtype=dtype,
-            options=BasecallOptions(
-                read_batch=min(args.eval_reads, 128),
-                bucket_quantum=4096,
-            ),
+            options=BasecallOptions(**opt_kw),
         )
         t0 = time.perf_counter()
         seqs = bc.basecall_signals(sigs)
@@ -195,6 +208,7 @@ def main():
             accs.append(read_identity(truth, called)["accuracy"]
                         if called else 0.0)
         accs = np.array(accs)
+        seqs_by_tag[tag] = seqs
         results[tag] = {
             "median_identity": float(np.median(accs)),
             "mean_identity": float(np.mean(accs)),
@@ -206,9 +220,18 @@ def main():
               f"mean {np.mean(accs):6.2f}%  min {accs.min():6.2f}%  "
               f"({dt:.1f}s)", flush=True)
 
-    with open(out / "accuracy.json", "w") as f:
+    if args.chunk:
+        a = seqs_by_tag["bf16 chunk ref-cons"]
+        b = seqs_by_tag["bf16 chunk dev-cons"]
+        exact = sum(x == y for x, y in zip(a, b))
+        results["chunk_consensus_exact_agreement"] = f"{exact}/{len(a)}"
+        print(f"chunk consensus exact agreement: {exact}/{len(a)}",
+              flush=True)
+
+    path = out / ("accuracy_chunk.json" if args.chunk else "accuracy.json")
+    with open(path, "w") as f:
         json.dump(results, f, indent=2)
-    print(f"wrote {out / 'accuracy.json'}", flush=True)
+    print(f"wrote {path}", flush=True)
 
 
 if __name__ == "__main__":

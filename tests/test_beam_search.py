@@ -177,3 +177,21 @@ def test_packed_lm_matches_dense(rng):
     )
     for a, b in zip(dense, packed):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_label_nibble_pack_roundtrip(rng):
+    from radian_tpu.ops.beam_search import (
+        pack_labels,
+        rows_to_seqs,
+        unpack_labels,
+    )
+
+    rev = rng.integers(-1, 4, size=(3, 7, 64)).astype(np.int8)
+    packed = np.asarray(pack_labels(rev))
+    assert packed.shape == (3, 7, 32) and packed.dtype == np.uint8
+    np.testing.assert_array_equal(unpack_labels(packed), rev)
+
+    # rows_to_seqs == per-row labels_to_seq(reverse=True)
+    rows = rev[0, :, :]
+    want = [labels_to_seq(r, reverse=True) for r in rows]
+    assert rows_to_seqs(rows) == want
