@@ -60,7 +60,8 @@ def synth_signal(
     dwell_mean: float = 9.0,
     dwell_std: float = 2.0,
     noise: float = 0.25,
-) -> np.ndarray:
+    return_dwells: bool = False,
+):
     """Squiggle for a given base sequence (k-mer levels, noisy dwells)."""
     n_bases = len(labels)
     ctx = np.zeros(n_bases, np.int64)
@@ -73,8 +74,10 @@ def synth_signal(
         rng.normal(dwell_mean, dwell_std, size=n_bases).round().astype(int), 3
     )
     sig = np.repeat(levels[ctx % len(levels)], dwells)
-    sig = sig + rng.normal(0, noise, size=sig.shape).astype(np.float32)
-    return sig.astype(np.float32)
+    sig = (sig + rng.normal(0, noise, size=sig.shape)).astype(np.float32)
+    if return_dwells:
+        return sig, dwells
+    return sig
 
 
 def synth_read(
@@ -160,6 +163,76 @@ def synth_windows(
     return {
         "signal": signals,
         "labels": labels,
+        "input_length": np.full(n_windows, window, np.int32),
+        "label_length": label_lengths,
+    }
+
+
+def synth_norm_windows(
+    rng: np.random.Generator,
+    n_windows: int,
+    window: int = 1024,
+    levels: np.ndarray | None = None,
+    trans: np.ndarray | None = None,
+    max_label: int = 64,
+    adc_scale: float = 100.0,
+    adc_offset: float = 500.0,
+    **read_kw,
+):
+    """Training windows cut from MAD-normalised synthetic reads.
+
+    Matches what the inference pipeline (and the reference's real
+    training shards) actually feed the model: raw signal → int16 ADC →
+    per-read modified-z-score MAD normalisation → windowing.  Training
+    on raw-scale windows instead leaves the model scale-brittle — a
+    ~1.3x input rescale collapses its emissions to blanks (measured on
+    the round-3 accuracy run, see NOTES.md).
+
+    ``trans`` draws base sequences from a first-order Markov chain
+    (:func:`markov_labels`) instead of uniform i.i.d.
+
+    Returns the training-schema dict (signal/labels/input_length/
+    label_length), labels assigned by the same at-least-half-dwell
+    rule as :func:`synth_windows`.
+    """
+    from radian_tpu.ops.preprocess import mad_normalise_np
+
+    if levels is None:
+        levels = kmer_level_table(rng)
+    dwell_mean = read_kw.get("dwell_mean", 9.0)
+
+    signals = np.zeros((n_windows, window), np.float32)
+    labels_out = np.zeros((n_windows, max_label), np.int32)
+    label_lengths = np.zeros(n_windows, np.int32)
+    i = 0
+    while i < n_windows:
+        # a read spanning ~2 windows; slice one window at a random offset
+        n_bases = max(int(2.2 * window / dwell_mean), 8)
+        if trans is None:
+            labs = rng.integers(0, N_BASES, size=n_bases).astype(np.int32)
+        else:
+            labs = markov_labels(rng, n_bases, trans)
+        sig, dwells = synth_signal(rng, labs, levels, return_dwells=True,
+                                   **read_kw)
+        if len(sig) < window:
+            continue
+        adc = np.round(sig * adc_scale + adc_offset).astype(np.int16)
+        norm = mad_normalise_np(adc.astype(np.float64), 4.0).astype(
+            np.float32)
+        off = int(rng.integers(0, len(sig) - window + 1))
+        starts = np.concatenate([[0], np.cumsum(dwells)[:-1]])
+        mids = starts + dwells // 2
+        keep = (mids >= off) & (mids < off + window)
+        n_keep = int(keep.sum())
+        if not 0 < n_keep <= max_label:
+            continue
+        signals[i] = norm[off : off + window]
+        labels_out[i, :n_keep] = labs[keep]
+        label_lengths[i] = n_keep
+        i += 1
+    return {
+        "signal": signals,
+        "labels": labels_out,
         "input_length": np.full(n_windows, window, np.int32),
         "label_length": label_lengths,
     }

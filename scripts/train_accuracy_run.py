@@ -89,11 +89,14 @@ def main():
     from radian_tpu.utils.synthetic import (
         kmer_level_table,
         markov_kmer_lm,
+        synth_norm_windows,
         synth_read,
-        synth_windows,
     )
 
     if args.quick:
+        if args.out == "bench_data/trained":
+            args.out = "/tmp/radian_tpu_trained_quick"  # don't mix with
+            # the full-size run's checkpoints
         args.steps = min(args.steps, 60)
         args.batch = 16
         args.window = 256
@@ -135,15 +138,20 @@ def main():
         print(f"generating {args.train_batches} train + 8 val batches "
               f"of {args.batch}x{args.window}...", flush=True)
         t0 = time.perf_counter()
+        # windows are cut from MAD-normalised int16 reads — the exact
+        # transform the inference pipeline applies — alternating uniform
+        # and Markov-chain sequences so the signal model handles both
         batches = [
-            synth_windows(rng, args.batch, window=args.window,
-                          levels=levels, **synth_kw)
-            for _ in range(args.train_batches)
+            synth_norm_windows(
+                rng, args.batch, window=args.window, levels=levels,
+                trans=trans if i % 2 else None, **synth_kw)
+            for i in range(args.train_batches)
         ]
         val = [
-            synth_windows(rng, args.batch, window=args.window,
-                          levels=levels, **synth_kw)
-            for _ in range(8)
+            synth_norm_windows(
+                rng, args.batch, window=args.window, levels=levels,
+                trans=trans if i % 2 else None, **synth_kw)
+            for i in range(8)
         ]
         print(f"  ...{time.perf_counter() - t0:.1f}s", flush=True)
 
