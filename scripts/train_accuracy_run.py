@@ -130,6 +130,11 @@ def main():
         params = load_params_npz(out / "params.npz")
         print(f"loaded params from {out / 'params.npz'}", flush=True)
     else:
+        import shutil
+
+        # stale managers silently keep old epochs' checkpoints and
+        # restore_best would resurrect a previous run's weights
+        shutil.rmtree(out / "ckpt", ignore_errors=True)
         trainer = Trainer(cfg, TrainConfig(
             checkpoint_dir=str((out / "ckpt").absolute()),
             log_dir=str(out / "logs"),
