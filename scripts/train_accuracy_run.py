@@ -50,7 +50,7 @@ def make_trans(p: float) -> np.ndarray:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--steps", type=int, default=12000)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--window", type=int, default=1024)
     ap.add_argument("--dwell", type=float, default=40.0)
@@ -122,6 +122,11 @@ def main():
     cfg.data.window_size = args.window
     cfg.train.batch_size = args.batch
     cfg.train.opt.adam.lr = args.lr
+    # the full-size model at lr 1e-3 escapes the uniform-base CTC
+    # plateau but blows up periodically without clipping
+    # (scripts/exp_train_probe.py traces); clipped it descends
+    # monotonically
+    cfg.train.opt.adam.clipnorm = 1.0
     if args.quick:
         cfg.model.tcn.nb_filters = 48
         cfg.model.relu_units = 48
