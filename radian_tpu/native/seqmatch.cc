@@ -1,0 +1,155 @@
+// Longest-matching-block of python difflib.SequenceMatcher(None, a, b),
+// exact semantics — used by the chunk-mode consensus stitcher
+// (radian_tpu/ops/consensus.py), whose behavior is pinned to the
+// reference's difflib call (reference radian/sequence_assembly.py:19-48).
+//
+// Replicates, from the documented stdlib algorithm:
+//  - b2j occurrence lists over b
+//  - autojunk: for len(b) >= 200, elements occurring more than
+//    1 + len(b)//100 times are "popular" and dropped from b2j (with a
+//    4-letter alphabet this empties b2j for long fragments — the
+//    degenerate behavior is preserved on purpose)
+//  - find_longest_match's dynamic-programming scan with its
+//    earliest-in-a-then-earliest-in-b tie rule, followed by the
+//    non-junk and junk-adjacent extension passes
+//  - get_matching_blocks' queue recursion, sort, and adjacent-block
+//    merge
+//  - the caller's max(blocks, key=size) = first maximal block in
+//    sorted order
+//
+// Exactness is fuzz-checked against difflib in
+// tests/test_native_seqmatch.py.
+
+#include <algorithm>
+#include <array>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Block {
+  long a, b, size;
+};
+
+struct Matcher {
+  const uint8_t* a;
+  const uint8_t* b;
+  long la, lb;
+  std::vector<std::vector<long>> b2j;  // per byte value, positions in b
+  bool popular[256] = {false};
+
+  Matcher(const uint8_t* a_, long la_, const uint8_t* b_, long lb_)
+      : a(a_), b(b_), la(la_), lb(lb_), b2j(256) {
+    for (long j = 0; j < lb; ++j) b2j[b[j]].push_back(j);
+    if (lb >= 200) {
+      long ntest = lb / 100 + 1;
+      for (int v = 0; v < 256; ++v) {
+        if (!b2j[v].empty() && (long)b2j[v].size() > ntest) {
+          popular[v] = true;
+          b2j[v].clear();
+        }
+      }
+    }
+  }
+
+  bool bjunk(uint8_t v) const { return popular[v]; }
+
+  Block find(long alo, long ahi, long blo, long bhi) const {
+    long besti = alo, bestj = blo, bestsize = 0;
+    // j2len over b positions; rolling rows like the dict version
+    std::vector<long> j2len(lb, 0), newj2len(lb, 0);
+    for (long i = alo; i < ahi; ++i) {
+      std::fill(newj2len.begin(), newj2len.end(), 0);
+      for (long j : b2j[a[i]]) {
+        if (j < blo) continue;
+        if (j >= bhi) break;
+        long k = (j > 0 ? j2len[j - 1] : 0) + 1;
+        newj2len[j] = k;
+        if (k > bestsize) {
+          besti = i - k + 1;
+          bestj = j - k + 1;
+          bestsize = k;
+        }
+      }
+      std::swap(j2len, newj2len);
+    }
+    // extend over adjacent non-junk equal elements
+    while (besti > alo && bestj > blo && !bjunk(b[bestj - 1]) &&
+           a[besti - 1] == b[bestj - 1]) {
+      --besti; --bestj; ++bestsize;
+    }
+    while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+           !bjunk(b[bestj + bestsize]) &&
+           a[besti + bestsize] == b[bestj + bestsize]) {
+      ++bestsize;
+    }
+    // then over adjacent junk ("popular") equal elements
+    while (besti > alo && bestj > blo && bjunk(b[bestj - 1]) &&
+           a[besti - 1] == b[bestj - 1]) {
+      --besti; --bestj; ++bestsize;
+    }
+    while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+           bjunk(b[bestj + bestsize]) &&
+           a[besti + bestsize] == b[bestj + bestsize]) {
+      ++bestsize;
+    }
+    return {besti, bestj, bestsize};
+  }
+
+  std::vector<Block> matching_blocks() const {
+    std::vector<std::array<long, 4>> queue{{0, la, 0, lb}};
+    std::vector<Block> blocks;
+    while (!queue.empty()) {
+      auto [alo, ahi, blo, bhi] = queue.back();
+      queue.pop_back();
+      Block m = find(alo, ahi, blo, bhi);
+      if (m.size) {
+        blocks.push_back(m);
+        if (alo < m.a && blo < m.b)
+          queue.push_back({alo, m.a, blo, m.b});
+        if (m.a + m.size < ahi && m.b + m.size < bhi)
+          queue.push_back({m.a + m.size, ahi, m.b + m.size, bhi});
+      }
+    }
+    std::sort(blocks.begin(), blocks.end(), [](const Block& x, const Block& y) {
+      if (x.a != y.a) return x.a < y.a;
+      if (x.b != y.b) return x.b < y.b;
+      return x.size < y.size;
+    });
+    // merge adjacent blocks (difflib get_matching_blocks tail pass)
+    std::vector<Block> merged;
+    long i1 = 0, j1 = 0, k1 = 0;
+    for (const Block& m : blocks) {
+      if (i1 + k1 == m.a && j1 + k1 == m.b) {
+        k1 += m.size;
+      } else {
+        if (k1) merged.push_back({i1, j1, k1});
+        i1 = m.a; j1 = m.b; k1 = m.size;
+      }
+    }
+    if (k1) merged.push_back({i1, j1, k1});
+    merged.push_back({la, lb, 0});  // terminator, as difflib emits
+    return merged;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Longest matching block of SequenceMatcher(None, a, b): out = {a_start,
+// b_start, size} of the first maximal-size entry of get_matching_blocks().
+void LongestBlock(const uint8_t* a, long la, const uint8_t* b, long lb,
+                  long* out) {
+  Matcher m(a, la, b, lb);
+  auto blocks = m.matching_blocks();
+  const Block* best = &blocks[0];
+  for (const Block& blk : blocks)
+    if (blk.size > best->size) best = &blk;
+  out[0] = best->a;
+  out[1] = best->b;
+  out[2] = best->size;
+}
+
+}  // extern "C"

