@@ -138,7 +138,14 @@ def main():
         "vs_baseline": round(vs, 2) if vs is not None else None,
     }
     if DECODE == "chunk":
-        out["device_consensus_agreement"] = f"{agree}/{len(dev_seqs)}"
+        # exact-string agreement between the two stitchers; with the
+        # bench's seed-0 random weights both stitch noise fragments, so
+        # low agreement is expected — the trained-weights comparison
+        # (NOTES.md round 3: difflib 85.96% vs device 81.96% identity)
+        # is the meaningful one
+        out["device_consensus_exact_agreement_random_weights"] = (
+            f"{agree}/{len(dev_seqs)}"
+        )
     print(json.dumps(out))
 
 

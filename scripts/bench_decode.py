@@ -9,6 +9,8 @@ import sys
 import time
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       str(Path("bench_data/.jax_cache").absolute()))
 
