@@ -143,3 +143,32 @@ def test_directory_to_fasta(shared_params, signals, tmp_path, reads_fast5_path):
     out = read_fasta(tmp_path / "reads-0.fasta")
     assert set(out) == {"id-0", "id-1"}
     assert all(set(v) <= set("ACGT") and v for v in out.values())
+
+
+def test_lm_layout_autopick(rng):
+    """Basecaller picks packed tables only under the measured ~2 MB
+    crossover (NOTES round 3): a small sparse LM packs, a 200k-context
+    LM stays dense."""
+    import jax
+
+    from radian_tpu.lm import build_dense_tables, random_kmer_model
+    from radian_tpu.models import build_model, init_params
+    from radian_tpu.pipeline import Basecaller, BasecallOptions
+
+    model = build_model()
+    params = init_params(model, jax.random.PRNGKey(0))
+
+    small = build_dense_tables(
+        random_kmer_model(rng, context_len=11, n_contexts=2_000,
+                          concentration=0.2), 11)
+    bc = Basecaller(params, lm=small,
+                    options=BasecallOptions(context_len=11))
+    assert bc._lm_packed
+    assert bc._lm_t2.shape == (2_001, 5)  # uniform row + real rows
+
+    big = build_dense_tables(
+        random_kmer_model(rng, context_len=11, n_contexts=200_000,
+                          concentration=0.2), 11)
+    bc = Basecaller(params, lm=big,
+                    options=BasecallOptions(context_len=11))
+    assert not bc._lm_packed
