@@ -345,14 +345,14 @@ class Basecaller:
         # working set is small enough to win: the decoder's dense-table
         # gather is span-latency-bound (scripts/exp_lm_tablesize: 67 MB
         # ~ +14 us/step, tiny ~ +4 at N=256), but the packed path pays
-        # TWO chained gathers' fixed mechanics (~3.5 us each), so it
-        # only beats the dense 67 MB gather when l1+vals stay under
-        # ~2 MB (measured: 1.4 MB packed 13.4 us/step vs 24.6 dense;
-        # 5.0 MB packed 29.9 — worse).
+        # TWO chained gathers' fixed mechanics (~3.5 us each).  Measured
+        # step times vs the 24.6 us dense floor: 1.4 MB packed 13.4,
+        # 2.0 MB 16.1, 5.0 MB 29.9 — crossover ≈ 4 MB; pick packed
+        # under 3 MB for margin (~110k real contexts).
         self._lm_packed = False
         if lm is not None:
             l1, vals = lm.compressed()
-            if l1.nbytes + vals.nbytes < 2_000_000:
+            if l1.nbytes + vals.nbytes < 3_000_000:
                 self._lm_packed = True
                 self._lm_t1 = jnp.asarray(l1)
                 self._lm_t2 = jnp.asarray(vals)
