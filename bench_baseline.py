@@ -107,7 +107,14 @@ def main():
 
     if chunk_only:
         # merge the chunk numbers into the recorded round-1 baseline
-        out = json.loads(Path("bench_data/baseline.json").read_text())
+        base_path = Path("bench_data/baseline.json")
+        if not base_path.exists():
+            raise SystemExit(
+                "--chunk-only merges into bench_data/baseline.json, which "
+                "does not exist — run the full baseline first "
+                "(python bench_baseline.py)"
+            )
+        out = json.loads(base_path.read_text())
     else:
         out = {
             "workload": "5 reads, data/reads.fast5, global decode, LM "

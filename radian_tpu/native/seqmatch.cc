@@ -11,7 +11,8 @@
 //    degenerate behavior is preserved on purpose)
 //  - find_longest_match's dynamic-programming scan with its
 //    earliest-in-a-then-earliest-in-b tie rule, followed by the
-//    non-junk and junk-adjacent extension passes
+//    extension passes (bjunk is EMPTY under isjunk=None — popular
+//    elements are pruned from b2j only, never treated as junk)
 //  - get_matching_blocks' queue recursion, sort, and adjacent-block
 //    merge
 //  - the caller's max(blocks, key=size) = first maximal block in
@@ -53,7 +54,10 @@ struct Matcher {
     }
   }
 
-  bool bjunk(uint8_t v) const { return popular[v]; }
+  // With isjunk=None (the reference's call), stdlib's bjunk set is EMPTY:
+  // autojunk "popular" elements land in bpopular and are only pruned from
+  // b2j — they are NOT junk for the extension passes.  popular[] above is
+  // therefore used solely for the b2j pruning in the constructor.
 
   Block find(long alo, long ahi, long blo, long bhi) const {
     long besti = alo, bestj = blo, bestsize = 0;
@@ -74,23 +78,12 @@ struct Matcher {
       }
       std::swap(j2len, newj2len);
     }
-    // extend over adjacent non-junk equal elements
-    while (besti > alo && bestj > blo && !bjunk(b[bestj - 1]) &&
-           a[besti - 1] == b[bestj - 1]) {
+    // extend over adjacent equal elements (bjunk is empty — one backward
+    // and one forward pass cover both of stdlib's extension phases)
+    while (besti > alo && bestj > blo && a[besti - 1] == b[bestj - 1]) {
       --besti; --bestj; ++bestsize;
     }
     while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-           !bjunk(b[bestj + bestsize]) &&
-           a[besti + bestsize] == b[bestj + bestsize]) {
-      ++bestsize;
-    }
-    // then over adjacent junk ("popular") equal elements
-    while (besti > alo && bestj > blo && bjunk(b[bestj - 1]) &&
-           a[besti - 1] == b[bestj - 1]) {
-      --besti; --bestj; ++bestsize;
-    }
-    while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-           bjunk(b[bestj + bestsize]) &&
            a[besti + bestsize] == b[bestj + bestsize]) {
       ++bestsize;
     }

@@ -502,6 +502,12 @@ def pack_labels(rev: jnp.ndarray) -> jnp.ndarray:
     share a byte — halving the device→host fetch (the tunnel transfer
     is a visible slice of chunk-mode runtime).  Last axis must be even.
     """
+    if rev.shape[-1] % 2 != 0:
+        raise ValueError(
+            f"pack_labels needs an even last axis, got {rev.shape}: pad "
+            "the decode timestep count (bucket/window T) to a multiple "
+            "of 2 before packing"
+        )
     v = (rev + 1).astype(jnp.uint8)
     return v[..., 0::2] | (v[..., 1::2] << 4)
 

@@ -52,6 +52,29 @@ from radian_tpu.ops.preprocess import (
 )
 
 
+# Packed-vs-dense LM layout crossover (bytes of the packed working set).
+# Derived from the production-decoder sweep in scripts/exp_lm_tablesize.py
+# (see the Basecaller.__init__ comment for the datapoints); kept with
+# margin below the measured ~4 MB crossover at N=256.
+PACKED_LM_MAX_BYTES = 3_000_000
+
+
+def _packed_lm_bound_bytes(lm: KmerLM) -> int:
+    """Cheap upper bound on ``lm.compressed()``'s packed size, WITHOUT
+    building it — ``compressed()`` on a mask-less full-size table runs an
+    ``np.unique`` row-sort over all 4^ctx × 5 rows (seconds) just to
+    discover the result is over-threshold.
+
+    l1 is always ``ceil(R/32) × 8`` bytes; vals is ``(n_real+1) × 20``.
+    With ``real_mask`` the bound is exact; without it the worst case
+    (every row distinct, e.g. an analytic Markov table) is assumed.
+    """
+    r = lm.n_contexts
+    l1_bytes = -(-r // 32) * 8
+    n_real = int(lm.real_mask.sum()) if lm.real_mask is not None else r
+    return l1_bytes + (n_real + 1) * 20
+
+
 @dataclasses.dataclass(frozen=True)
 class BasecallOptions:
     """Decode options (defaults = reference basecall.py:19-37 CLI defaults)."""
@@ -347,21 +370,22 @@ class Basecaller:
         # ~ +14 us/step, tiny ~ +4 at N=256), but the packed path pays
         # TWO chained gathers' fixed mechanics (~3.5 us each).  Measured
         # step times vs the 24.6 us dense floor: 1.4 MB packed 13.4,
-        # 2.0 MB 16.1, 5.0 MB 29.9 — crossover ≈ 4 MB; pick packed
-        # under 3 MB for margin (~110k real contexts).
+        # 2.0 MB 16.1, 5.0 MB 29.9 — crossover ~ 4 MB; PACKED_LM_MAX_BYTES
+        # picks packed under that with margin (~110k real contexts).
         self._lm_packed = False
-        if lm is not None:
+        if lm is not None and _packed_lm_bound_bytes(lm) < PACKED_LM_MAX_BYTES:
             l1, vals = lm.compressed()
-            if l1.nbytes + vals.nbytes < 3_000_000:
+            if l1.nbytes + vals.nbytes < PACKED_LM_MAX_BYTES:
                 self._lm_packed = True
                 self._lm_t1 = jnp.asarray(l1)
                 self._lm_t2 = jnp.asarray(vals)
-            else:
+        if not self._lm_packed:
+            if lm is not None:
                 self._lm_t1 = jnp.asarray(lm.probs)
                 self._lm_t2 = jnp.asarray(lm.entropy)
-        else:
-            self._lm_t1 = jnp.ones((1, 4), jnp.float32)
-            self._lm_t2 = jnp.zeros((1,), jnp.float32)
+            else:
+                self._lm_t1 = jnp.ones((1, 4), jnp.float32)
+                self._lm_t2 = jnp.zeros((1,), jnp.float32)
         if o.decode_backend == "pallas":
             use_pallas = True
         elif o.decode_backend == "xla":

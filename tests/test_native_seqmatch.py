@@ -64,3 +64,47 @@ def test_consensus_uses_native_and_matches_stdlib(native, rng, monkeypatch):
     without = cons.assemble_fragments(frags)
     monkeypatch.setattr(cons, "_seqmatch_lib", None)
     assert with_native == without
+
+
+def test_fuzz_skewed_composition(native, rng):
+    """Skewed base composition past the autojunk threshold (len(b) >=
+    200): a rare base occurring <= len//100+1 times stays non-popular,
+    so b2j is non-empty while the other bases ARE popular.  stdlib's
+    bjunk is still EMPTY under isjunk=None, so the extension passes run
+    over all equal elements — the regime the advisor found diverging
+    when popular elements were wrongly treated as junk."""
+    for trial in range(300):
+        lb = int(rng.integers(200, 400))
+        la = int(rng.integers(150, 400))
+        rare = int(rng.integers(0, 4))
+        n_rare = int(rng.integers(1, lb // 100 + 2))  # stays non-popular
+        common = [i for i in range(4) if i != rare]
+        bl = [common[int(i)] for i in rng.integers(0, 3, lb)]
+        for pos in rng.choice(lb, size=min(n_rare, lb), replace=False):
+            bl[int(pos)] = rare
+        al = [common[int(i)] for i in rng.integers(0, 3, la)]
+        # give a a share of rare bases too so blocks can span them
+        for pos in rng.choice(la, size=min(n_rare, la), replace=False):
+            al[int(pos)] = rare
+        a = "".join("ACGT"[i] for i in al)
+        b = "".join("ACGT"[i] for i in bl)
+        assert longest_block(a, b) == _difflib_block(a, b), (trial, a, b)
+
+
+def test_fuzz_skewed_overlap_fragments(native, rng):
+    """Overlapping-fragment pairs with skewed composition (chunk
+    workload shape, autojunk regime with a non-popular rare base)."""
+    for trial in range(150):
+        n = int(rng.integers(200, 350))
+        rare = int(rng.integers(0, 4))
+        common = [i for i in range(4) if i != rare]
+        seq = np.array([common[int(i)] for i in rng.integers(0, 3, n + 80)])
+        for pos in rng.choice(len(seq), size=3, replace=False):
+            seq[int(pos)] = rare
+        shift = int(rng.integers(0, 50))
+        a = "".join("ACGT"[i] for i in seq[:n])
+        bl = list(seq[shift:shift + n])
+        for _ in range(int(rng.integers(0, 6))):
+            bl[int(rng.integers(0, len(bl)))] = int(rng.integers(0, 4))
+        b = "".join("ACGT"[i] for i in bl)
+        assert longest_block(a, b) == _difflib_block(a, b), (trial, a, b)
