@@ -54,6 +54,18 @@ def main():
     from radian_tpu.pipeline import Basecaller, BasecallOptions
 
     log(f"devices: {jax.devices()}")
+
+    # Session connect, timed SEPARATELY from warmup: the first device
+    # interaction of a fresh process over the axon tunnel can stall
+    # 0.5 s .. ~6 min waiting for the server to release the previous
+    # client's session (measured round 4, scripts/diag_warmup.py).  It
+    # is connection latency, not compilation — the bucket programs all
+    # hit the on-disk compile cache (1.6 s/bucket first call) and the
+    # 84 MB LM upload takes ~1 s once the session is live.
+    t0 = time.perf_counter()
+    np.asarray(jax.device_put(np.ones(4, np.float32)))
+    log(f"axon session connect: {time.perf_counter() - t0:.1f}s")
+
     reads = sorted(
         iter_fast5_reads("/root/reference/radian/data/reads.fast5"),
         key=lambda r: r.read_id,

@@ -98,9 +98,14 @@ def build_model(config: DotDict | None = None, compute_dtype=jnp.float32) -> Sig
 
 
 def init_params(model: SigToSeq, rng: jax.Array, window_size: int = 1024):
-    """Initialise parameters for a ``[B, window, 1]`` input."""
+    """Initialise parameters for a ``[B, window, 1]`` input.
+
+    Jitted as ONE program: un-jitted flax init dispatches every layer's
+    rng/init op eagerly — over a remote (axon) backend each eager op is a
+    ~0.5 s round trip, ~15 s total for this model (measured round 4).
+    """
     dummy = jnp.zeros((1, window_size, 1), jnp.float32)
-    return model.init(rng, dummy)["params"]
+    return jax.jit(lambda r: model.init(r, dummy))(rng)["params"]
 
 
 def param_count(params) -> int:
