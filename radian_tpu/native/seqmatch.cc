@@ -129,20 +129,86 @@ struct Matcher {
 
 }  // namespace
 
+namespace {
+
+Block longest_block(const uint8_t* a, long la, const uint8_t* b, long lb) {
+  Matcher m(a, la, b, lb);
+  auto blocks = m.matching_blocks();
+  const Block* best = &blocks[0];
+  for (const Block& blk : blocks)
+    if (blk.size > best->size) best = &blk;
+  return *best;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Longest matching block of SequenceMatcher(None, a, b): out = {a_start,
 // b_start, size} of the first maximal-size entry of get_matching_blocks().
 void LongestBlock(const uint8_t* a, long la, const uint8_t* b, long lb,
                   long* out) {
-  Matcher m(a, la, b, lb);
-  auto blocks = m.matching_blocks();
-  const Block* best = &blocks[0];
-  for (const Block& blk : blocks)
-    if (blk.size > best->size) best = &blk;
-  out[0] = best->a;
-  out[1] = best->b;
-  out[2] = best->size;
+  Block best = longest_block(a, la, b, lb);
+  out[0] = best.a;
+  out[1] = best.b;
+  out[2] = best.size;
+}
+
+// Full chunk-mode consensus: the entire simple_assembly + index2base
+// chain (reference radian/sequence_assembly.py:19-48,90-97) in one call —
+// the per-pair python/ctypes round trips and the per-character vote loop
+// cost ~8 ms/read at ~110 fragments (measured round 4); this runs the
+// whole stitch in ~sub-ms.  Exact semantics as ops/consensus.py's
+// simple_assembly (which is fuzz-checked against it):
+//  - fragment 0 votes at position 0 but never extends `length`
+//    (single-fragment reads assemble empty — reference quirk preserved)
+//  - displacement = longest_block(prev, cur).a - .b
+//  - votes below position 0 are trimmed; counts grow on demand
+//  - consensus = per-position argmax, ties -> lowest base index
+//
+// `data`: concatenated fragment bytes (values 0..3 = A,C,G,T);
+// `offsets`: n_frags+1 prefix offsets into data; `out`: caller buffer of
+// at least (total bytes + longest fragment) — consensus length returned.
+long AssembleFragments(const uint8_t* data, const long* offsets,
+                       long n_frags, uint8_t* out) {
+  if (n_frags <= 0) return 0;
+  std::vector<std::array<long, 4>> counts;
+  counts.reserve(offsets[n_frags] - offsets[0] + 1024);
+  auto vote = [&counts](long start, const uint8_t* frag, long len) {
+    if (start < 0) {
+      frag += -start;
+      len -= -start;
+      start = 0;
+      if (len <= 0) return;
+    }
+    if ((long)counts.size() < start + len)
+      counts.resize(start + len, {0, 0, 0, 0});
+    for (long i = 0; i < len; ++i) ++counts[start + i][frag[i]];
+  };
+  long pos = 0, length = 0;
+  vote(0, data + offsets[0], offsets[1] - offsets[0]);
+  for (long i = 1; i < n_frags; ++i) {
+    const uint8_t* prev = data + offsets[i - 1];
+    long lprev = offsets[i] - offsets[i - 1];
+    const uint8_t* cur = data + offsets[i];
+    long lcur = offsets[i + 1] - offsets[i];
+    Block blk = longest_block(prev, lprev, cur, lcur);
+    long disp = blk.a - blk.b;
+    vote(pos + disp, cur, lcur);
+    pos += disp;
+    length = std::max(length, pos + lcur);
+  }
+  // `length` can pass the last voted column (e.g. an empty fragment
+  // advances pos without voting); python argmaxes the zero columns to
+  // base 0 ('A') — match by zero-extending.
+  if ((long)counts.size() < length) counts.resize(length, {0, 0, 0, 0});
+  for (long j = 0; j < length; ++j) {
+    int best = 0;
+    for (int v = 1; v < 4; ++v)
+      if (counts[j][v] > counts[j][best]) best = v;
+    out[j] = (uint8_t)best;
+  }
+  return length;
 }
 
 }  // extern "C"

@@ -50,10 +50,49 @@ def _native_matcher():
                     ctypes.c_char_p, ctypes.c_long,
                     ctypes.POINTER(ctypes.c_long),
                 ]
+                lib.AssembleFragments.restype = ctypes.c_long
+                lib.AssembleFragments.argtypes = [
+                    ctypes.c_char_p,
+                    np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                    ctypes.c_long,
+                    ctypes.c_char_p,
+                ]
                 _seqmatch_lib = lib
             except Exception:
                 _seqmatch_lib = False
     return _seqmatch_lib or None
+
+
+_B2I = np.full(256, 255, np.uint8)
+for _i, _b in enumerate(BASES.encode()):
+    _B2I[_b] = _i
+    _B2I[_b + 32] = _i  # lowercase, like _IDX via .upper()
+_I2B = np.frombuffer(BASES.encode(), np.uint8)
+
+
+def _assemble_native(fragments: list[str]) -> str | None:
+    """One-call C++ consensus (matcher + votes + argmax), or None.
+
+    The pure-python stitch costs ~8 ms/read at ~110 fragments (a
+    per-character vote loop plus a ctypes round trip per pair); the
+    native whole-read call is ~sub-ms.  Exactness vs the python path is
+    fuzz-checked in tests/test_native_seqmatch.py.  Set
+    RADIAN_NATIVE_CONSENSUS=0 to force the python path.
+    """
+    lib = _native_matcher()
+    if lib is None or os.environ.get("RADIAN_NATIVE_CONSENSUS", "1") == "0":
+        return None
+    data = _B2I[np.frombuffer("".join(fragments).encode(), np.uint8)]
+    if data.size and data.max() > 3:
+        return None  # non-ACGT character: fall back to python (KeyError)
+    offsets = np.zeros(len(fragments) + 1, np.int64)
+    np.cumsum([len(f) for f in fragments], out=offsets[1:])
+    max_len = max((len(f) for f in fragments), default=0)
+    out = ctypes.create_string_buffer(int(offsets[-1]) + max_len + 1)
+    n = lib.AssembleFragments(
+        data.tobytes(), offsets, len(fragments), out
+    )
+    return _I2B[np.frombuffer(out.raw[:n], np.uint8)].tobytes().decode()
 
 
 def longest_block(a: str, b: str):
@@ -109,4 +148,9 @@ def consensus_sequence(counts: np.ndarray) -> str:
 
 
 def assemble_fragments(fragments: list[str]) -> str:
+    if not fragments:
+        return ""
+    native = _assemble_native(fragments)
+    if native is not None:
+        return native
     return consensus_sequence(simple_assembly(fragments))

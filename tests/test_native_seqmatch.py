@@ -108,3 +108,44 @@ def test_fuzz_skewed_overlap_fragments(native, rng):
             bl[int(rng.integers(0, len(bl)))] = int(rng.integers(0, 4))
         b = "".join("ACGT"[i] for i in bl)
         assert longest_block(a, b) == _difflib_block(a, b), (trial, a, b)
+
+
+def _python_consensus(frags):
+    from radian_tpu.ops.consensus import consensus_sequence, simple_assembly
+    return consensus_sequence(simple_assembly(frags))
+
+
+def test_native_consensus_fuzz(native, rng):
+    """Whole-read native consensus (AssembleFragments) == python stitch
+    on overlapping-fragment workloads, incl. autojunk lengths."""
+    from radian_tpu.ops.consensus import _assemble_native
+
+    for trial in range(120):
+        n_frag = int(rng.integers(1, 14))
+        seq = rng.integers(0, 4, 600)
+        frags = []
+        start = 0
+        for _ in range(n_frag):
+            ln = int(rng.integers(0, 300))
+            frag = list(seq[start:start + ln])
+            for _ in range(int(rng.integers(0, 5))):
+                if frag:
+                    frag[int(rng.integers(0, len(frag)))] = int(
+                        rng.integers(0, 4))
+            frags.append("".join("ACGT"[i] for i in frag))
+            start += int(rng.integers(0, 60))
+        got = _assemble_native(frags)
+        assert got is not None
+        assert got == _python_consensus(frags), (trial, frags)
+
+
+def test_native_consensus_edge_cases(native):
+    from radian_tpu.ops.consensus import _assemble_native, assemble_fragments
+
+    assert assemble_fragments([]) == ""
+    # single fragment: reference quirk — consensus is empty
+    assert _assemble_native(["ACGT"]) == _python_consensus(["ACGT"]) == ""
+    # empty fragments advance pos without voting (trailing-'A' regime)
+    for frags in (["", ""], ["ACGTACGT", ""], ["", "ACGT"],
+                  ["ACGTAC", "", "GTACGT"]):
+        assert _assemble_native(frags) == _python_consensus(frags), frags
