@@ -28,12 +28,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 # also reports the device-consensus agreement rate)
 DECODE = os.environ.get("BENCH_DECODE", "global")
 
-# experiment knobs (defaults = the recorded configuration); chunk mode
-# holds the full [N, windows, 1024, 5] per-window probs on device, so
-# its read batch is capped (256 OOMs a 16 GB v5e)
+# experiment knobs (defaults = the recorded configuration); the fused
+# chunk path streams window slabs (no [N, windows, 1024, 5] tensor), so
+# chunk mode runs the full 256 read batch too (round 3 was capped at 64)
 REPLICAS = int(os.environ.get("BENCH_REPLICAS", 256))  # 5 reads x 256
-READ_BATCH = int(os.environ.get(
-    "BENCH_READ_BATCH", 256 if DECODE == "global" else 64))
+READ_BATCH = int(os.environ.get("BENCH_READ_BATCH", 256))
 QUANTUM = int(os.environ.get("BENCH_QUANTUM", 1024))
 
 
@@ -90,6 +89,8 @@ def main():
         opts = BasecallOptions(
             decode_type="chunk", read_batch=READ_BATCH,
             bucket_quantum=QUANTUM,
+            # measured max emission on this workload: 285 labels/window
+            chunk_max_lab=384,
         )
         bc = Basecaller(params, compute_dtype=jnp.bfloat16, options=opts)
     else:

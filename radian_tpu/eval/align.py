@@ -159,9 +159,25 @@ def read_identity(ref: str, query: str) -> dict:
     }
 
 
+def random_identity_baseline(ref: str, call_len: int, rng=None) -> float:
+    """Identity the aligner awards a RANDOM same-length call.
+
+    The Gotoh aligner with soft-clipping scores a uniform-random call at
+    ~40% "identity" against a same-length reference (NOTES round 3: the
+    round-2 demo's 41% was exactly this) — identity numbers are
+    uninterpretable without this floor alongside them.
+    """
+    rng = rng if rng is not None else np.random.default_rng(0)
+    call = "ACGT"
+    call = "".join(call[i] for i in rng.integers(0, 4, max(call_len, 1)))
+    return read_identity(ref, call)["accuracy"]
+
+
 def evaluate_fasta(fasta_path, ref_tsv_path, out_tsv_path=None) -> dict:
     """Evaluate a fasta against a ``read_id\\ttranscript\\tseq`` TSV
-    (reference align.py:59-109); returns median/mean summary."""
+    (reference align.py:59-109); returns median/mean summary, including
+    a ``random_baseline`` column (what a random same-length call would
+    score — the interpretability floor for the accuracy numbers)."""
     from radian_tpu.io.fasta import read_fasta
 
     refs = {}
@@ -173,6 +189,8 @@ def evaluate_fasta(fasta_path, ref_tsv_path, out_tsv_path=None) -> dict:
             refs[read] = seq
 
     rows = []
+    baselines = []
+    rng = np.random.default_rng(0)
     out = open(out_tsv_path, "w") if out_tsv_path else None
     if out:
         out.write("read_id\tn_match\tn_ins\tn_del\tn_sub\n")
@@ -181,6 +199,9 @@ def evaluate_fasta(fasta_path, ref_tsv_path, out_tsv_path=None) -> dict:
             continue
         st = read_identity(refs[rid], seq)
         rows.append(st)
+        baselines.append(
+            random_identity_baseline(refs[rid], len(seq), rng)
+        )
         if out:
             out.write(
                 f"{rid}\t{st['n_match']}\t{st['n_ins']}\t{st['n_del']}\t"
@@ -196,6 +217,10 @@ def evaluate_fasta(fasta_path, ref_tsv_path, out_tsv_path=None) -> dict:
         summary[key] = {
             "median": float(np.median(vals)), "mean": float(np.mean(vals))
         }
+    summary["random_baseline"] = {
+        "median": float(np.median(baselines)),
+        "mean": float(np.mean(baselines)),
+    }
     summary["n_reads"] = len(rows)
     return summary
 
@@ -213,6 +238,7 @@ def main(argv=None):
         ("Accuracy", "accuracy"), ("Insertions", "p_ins"),
         ("Deletions", "p_del"), ("Substitutions", "p_sub"),
         ("Total error", "p_err"),
+        ("Random-call baseline", "random_baseline"),
     ):
         s = summary[key]
         print(f"{label}\tMEDIAN: {s['median']:.2f}\tMEAN: {s['mean']:.2f}")

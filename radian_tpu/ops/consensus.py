@@ -57,6 +57,13 @@ def _native_matcher():
                     ctypes.c_long,
                     ctypes.c_char_p,
                 ]
+                lib.AssembleRead.restype = ctypes.c_long
+                lib.AssembleRead.argtypes = [
+                    np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+                    ctypes.c_long,
+                    ctypes.c_long,
+                    ctypes.c_char_p,
+                ]
                 _seqmatch_lib = lib
             except Exception:
                 _seqmatch_lib = False
@@ -145,6 +152,28 @@ def _vote(counts: np.ndarray, start: int, fragment: str) -> None:
 def consensus_sequence(counts: np.ndarray) -> str:
     """argmax over the vote matrix → base string (reference index2base)."""
     return "".join(BASES[i] for i in np.argmax(counts, axis=0))
+
+
+def assemble_read_packed(packed_rows: np.ndarray) -> str | None:
+    """Consensus straight from compacted nibble-packed label rows.
+
+    ``packed_rows``: ``[n_wins, bytes_per_win]`` uint8 — the fused chunk
+    program's per-window output (pack_labels of front-compacted
+    emissions).  Renders fragments AND stitches in one C++ call
+    (native/seqmatch.cc AssembleRead); returns None when the native
+    library is unavailable (caller falls back to
+    rows_to_seqs + assemble_fragments, which is exactness-equivalent —
+    fuzz-checked in tests/test_native_seqmatch.py).
+    """
+    lib = _native_matcher()
+    if lib is None or os.environ.get("RADIAN_NATIVE_CONSENSUS", "1") == "0":
+        return None
+    rows = np.ascontiguousarray(packed_rows, np.uint8)
+    n_wins, bpw = rows.shape
+    cap = n_wins * bpw * 2 + bpw * 2 + 1
+    out = ctypes.create_string_buffer(cap)
+    n = lib.AssembleRead(rows, n_wins, bpw, out)
+    return _I2B[np.frombuffer(out.raw[:n], np.uint8)].tobytes().decode()
 
 
 def assemble_fragments(fragments: list[str]) -> str:

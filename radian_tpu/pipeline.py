@@ -52,6 +52,24 @@ from radian_tpu.ops.preprocess import (
 )
 
 
+# Shared host thread pool for the chunk-mode stitch (the native consensus
+# call releases the GIL, so threads genuinely parallelise it).
+_STITCH_POOL = None
+
+
+def _stitch_pool():
+    global _STITCH_POOL
+    if _STITCH_POOL is None:
+        import concurrent.futures
+        import os as _os
+
+        _STITCH_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=min(8, _os.cpu_count() or 1),
+            thread_name_prefix="radian-stitch",
+        )
+    return _STITCH_POOL
+
+
 # Packed-vs-dense LM layout crossover (bytes of the packed working set).
 # Derived from the production-decoder sweep in scripts/exp_lm_tablesize.py
 # (see the Basecaller.__init__ comment for the datapoints); kept with
@@ -114,6 +132,19 @@ class BasecallOptions:
     # path (required for mode='mean' and chunk decode, where it always
     # applies).  All three produce the same values up to float order.
     prep_mode: str = "auto"  # 'auto' | 'fullread' | 'strips' | 'windows'
+    # chunk-mode execution: 'fused' streams window slabs through one
+    # full-read forward + per-window head fix-up + in-scan decode with
+    # on-device label compaction (see _chunk_fused) — no [N, W, T, 5]
+    # probs tensor, so read_batch 256 fits; 'windows' is the original
+    # materialised path.  'auto' = fused when the geometry allows.
+    chunk_prep: str = "auto"  # 'auto' | 'fused' | 'windows'
+    chunk_slab: int = 4  # windows decoded per scan step in the fused path
+    # per-window emission cap for the fused path's label compaction;
+    # overflow raises on the host (never silent).  Random weights can
+    # emit ~0.45 labels/step (437 observed in tests), so the default
+    # stays at chunk_len/2; trained weights emit ~1 base per ~12+
+    # samples — tune down (e.g. 128) for less device→host traffic.
+    chunk_max_lab: int = 512
 
 
 def _prep_and_model(
@@ -291,6 +322,131 @@ def _assemble_and_decode(
     return pack_labels(rev), n_lab, t_reads
 
 
+def _chunk_fused(params, signals, lengths, *, model: SigToSeq,
+                 opts: BasecallOptions, max_windows: int, head: int,
+                 slab: int, max_lab: int, use_pallas: bool):
+    """Fused streaming chunk-mode program (reference basecall.py:111-123
+    semantics, TPU-first execution).
+
+    Round-3 chunk mode materialised the full ``[N, W, T, 5]`` per-window
+    probs tensor (150 MB at N=64), capping ``read_batch`` at 64 and
+    paying the 8× windowed-forward redundancy (stride 128 puts every
+    sample in 8 windows).  This program instead:
+
+    1. runs ONE causal full-read forward over the normalised signal
+       (zero-extended by ``chunk_len`` so tail-window padding exists in
+       the full-read view too), and
+    2. streams window slabs through a cheap ``head``-sample zero-history
+       fix-up forward + per-window decode + on-device label compaction
+       via ``lax.scan``, so only ``[N, W, max_lab/2]`` packed labels
+       persist.
+
+    Causality argument: the TCN is causal with receptive field RF, so a
+    window's output at in-window position p >= RF-1 is the full-read
+    output at absolute position start+p — identical input history
+    (same equivalence the global 'fullread' path rests on, NOTES round
+    2).  Only positions p < head (RF-1 rounded up to the 128 tile) need
+    the per-window forward: window FLOPs drop from 8× to ~1x + W·head/L
+    ≈ 3× the read's samples.
+
+    Per-window label counts must fit ``max_lab`` (the compaction keeps
+    the first ``max_lab`` emissions); the caller checks ``n_lab`` and
+    fails loudly on overflow (measured max on the random-weights bench
+    workload: 285 labels per 1024-sample window).
+    """
+    o = opts
+    window, step = o.chunk_len, o.step_size
+    n, sig_len = signals.shape
+    # a window cannot emit more than its timestep count; clamp the
+    # compaction width (keep it even for nibble packing)
+    max_lab = min(max_lab, window - window % 2)
+
+    def norm_one(sig, ln):
+        return mad_normalise(sig, ln, outlier_clip=o.outlier_clip)
+
+    norm, mads = jax.vmap(norm_one)(signals, lengths)  # [N, L]
+    n_full = jnp.maximum((lengths - window) // step + 1, 0)
+    n_wins = (n_full + 1).astype(jnp.int32)
+    tail_start = (n_full * step).astype(jnp.int32)
+    pad_ends = (window - (lengths - tail_start)).astype(jnp.int32)
+
+    ext = jnp.pad(norm, ((0, 0), (0, window)))
+    probs_full = model.apply(
+        {"params": params}, ext[..., None], probs=True
+    )  # [N, L+window, 5]
+    if model.compute_dtype == jnp.bfloat16:
+        # the tail gather re-reads this array ~6x (once per covering
+        # window); bf16 storage halves that HBM traffic (−1.3 ms/read
+        # measured at the worst bucket).  Only when the forward already
+        # ran in bf16 — f32 compute keeps f32 probs (exact parity mode).
+        probs_full = probs_full.astype(jnp.bfloat16)
+
+    n_slabs = -(-max_windows // slab)
+    w_iota = jnp.arange(slab, dtype=jnp.int32)
+    head_iota = jnp.arange(head, dtype=jnp.int32)
+    tail_iota = jnp.arange(head, window, dtype=jnp.int32)
+
+    def slab_step(_, s):
+        w_idx = s * slab + w_iota  # [slab]
+        starts = jnp.minimum(
+            w_idx[None, :] * step, tail_start[:, None]
+        )  # [N, slab]
+        # zero-history heads: window content [0, head) (norm is already
+        # zero past `length`, and starts+head-1 < L always — see strips)
+        hidx = starts[..., None] + head_iota  # [N, slab, head]
+        strips = jnp.take_along_axis(
+            norm, jnp.minimum(hidx, sig_len - 1).reshape(n, -1), axis=1
+        ).reshape(n, slab, head)
+        head_probs = model.apply(
+            {"params": params}, strips.reshape(n * slab, head, 1),
+            probs=True,
+        ).reshape(n, slab, head, -1)
+        # tails from the full-read probs at absolute positions
+        tidx = (starts[..., None] + tail_iota).reshape(n, -1)
+        tail_probs = jnp.take_along_axis(
+            probs_full, tidx[..., None], axis=1
+        ).reshape(n, slab, window - head, -1)
+        probs = jnp.concatenate(
+            [head_probs.astype(tail_probs.dtype), tail_probs], axis=2
+        ).reshape(n * slab, window, -1).astype(jnp.float32)
+        lens = jnp.where(
+            w_idx[None, :] == n_wins[:, None] - 1,
+            window - pad_ends[:, None], window,
+        )
+        lens = jnp.where(w_idx[None, :] < n_wins[:, None], lens, 0)
+        if use_pallas:
+            from radian_tpu.ops.beam_pallas import beam_search_pallas
+
+            rev, n_lab, _ = beam_search_pallas(
+                probs, lens.reshape(-1), beam_width=o.beam_width
+            )
+        else:
+            rev, n_lab, _ = beam_search_batch(
+                probs, lens.reshape(-1), beam_width=o.beam_width,
+                lm_enabled=False,
+            )
+        # compact scattered emissions to the front: sort VALUES with the
+        # label embedded in the key's low bits (one lax.sort, no
+        # argsort+gather round trip — −0.8 ms/read measured).  Key =
+        # t·8 + label for emissions (ascending t keeps emission order),
+        # sentinel 2^30 for copy steps.
+        t_io = jnp.arange(rev.shape[1], dtype=jnp.int32)[None, :]
+        key = jnp.where(rev >= 0, t_io * 8 + rev, jnp.int32(2 ** 30))
+        skey = jax.lax.sort(key, dimension=1)[:, :max_lab]
+        comp = jnp.where(skey < 2 ** 30, skey % 8, -1)
+        return None, (
+            pack_labels(comp).reshape(n, slab, max_lab // 2),
+            n_lab.reshape(n, slab).astype(jnp.int32),
+        )
+
+    _, (packed, n_lab) = jax.lax.scan(
+        slab_step, None, jnp.arange(n_slabs, dtype=jnp.int32)
+    )
+    packed = jnp.moveaxis(packed, 0, 1).reshape(n, n_slabs * slab, -1)
+    n_lab = jnp.moveaxis(n_lab, 0, 1).reshape(n, n_slabs * slab)
+    return packed, n_lab, n_wins, mads
+
+
 def _decode_windows(probs, n_wins, pad_ends, *, opts: BasecallOptions,
                     use_pallas: bool = False):
     """Chunk mode: per-window beam search, no LM (reference
@@ -454,6 +610,29 @@ class Basecaller:
                               use_pallas=use_pallas),
             in_specs=(P("data"), P("data"), P("data")),
         )
+        # fused chunk path: head = zero-history fix-up length (>= RF-1,
+        # rounded up to the 128 lane tile); requires it to fit the window
+        chunk_head = -(-(rf - 1) // 128) * 128
+        self.use_chunk_fused = (
+            o.decode_type == "chunk"
+            and o.chunk_prep in ("auto", "fused")
+            and chunk_head < o.chunk_len
+            and o.chunk_max_lab % 2 == 0
+        )
+        if o.chunk_prep == "fused" and not self.use_chunk_fused:
+            raise ValueError(
+                f"chunk_prep='fused' needs head {chunk_head} < chunk_len "
+                f"{o.chunk_len} and an even chunk_max_lab"
+            )
+        self._chunk_fused_prog = self._device_fn(
+            functools.partial(
+                _chunk_fused, model=self.model, opts=o, head=chunk_head,
+                slab=o.chunk_slab, max_lab=o.chunk_max_lab,
+                use_pallas=use_pallas,
+            ),
+            in_specs=(P(), P("data"), P("data")),
+            static_argnames=("max_windows",),
+        )
 
     def _device_fn(self, fn, *, in_specs, static_argnames=()):
         """Wrap a device program: plain jit, or jit(shard_map) on a mesh.
@@ -591,9 +770,15 @@ class Basecaller:
             rev, n_lab = self._decode_assembled(
                 mats, t_reads, self._lm_t1, self._lm_t2
             )
-            return ("global", idxs, real, mads, rev, None)
+            return ("global", idxs, real, mads, rev, None, None)
 
         max_w = max_windows_for(bucket, o.chunk_len, o.step_size)
+        if o.decode_type == "chunk" and self.use_chunk_fused:
+            rev, n_lab, n_wins, mads = self._chunk_fused_prog(
+                self.params, jnp.asarray(padded), jnp.asarray(lengths),
+                max_windows=max_w,
+            )
+            return ("chunk", idxs, real, mads, rev, n_wins, n_lab)
         probs, n_wins, pad_ends, mads = self._prep(
             self.params, jnp.asarray(padded), jnp.asarray(lengths),
             max_windows=max_w,
@@ -603,26 +788,49 @@ class Basecaller:
                 probs, n_wins, pad_ends,
                 self._lm_t1, self._lm_t2, out_len=bucket,
             )
-            return ("global", idxs, real, mads, rev, None)
+            return ("global", idxs, real, mads, rev, None, None)
         rev, n_lab = self._chunk_decode(probs, n_wins, pad_ends)
-        return ("chunk", idxs, real, mads, rev, n_wins)
+        return ("chunk", idxs, real, mads, rev, n_wins, None)
 
     def _collect_batch(self, pending, results):
         o = self.options
-        mode, idxs, real, mads, rev, n_wins = pending
+        mode, idxs, real, mads, rev, n_wins, n_lab = pending
         mads = np.asarray(mads)
         bad = ~np.isfinite(mads) | (mads == 0)
-        rev = unpack_labels(rev)
+        packed = np.asarray(rev)  # nibble-packed labels, uint8
         if mode == "global":
+            rev = unpack_labels(packed)
             for j, i in enumerate(idxs[:real]):
                 if not bad[j]:
                     results[i] = labels_to_seq(rev[j])  # already 5'→3'
             return
         n_wins = np.asarray(n_wins)
-        for j, i in enumerate(idxs[:real]):
-            if bad[j]:
-                continue
-            frags = rows_to_seqs(rev[j, : int(n_wins[j])])
+        if n_lab is not None:
+            # fused path: labels were compacted to chunk_max_lab slots on
+            # device — an overflowing window would have been truncated
+            # silently, so fail loudly instead
+            n_lab = np.asarray(n_lab)
+            win_valid = np.arange(n_lab.shape[1])[None, :] < n_wins[:, None]
+            row_ok = (np.arange(n_lab.shape[0]) < real) & ~bad
+            over = (n_lab > o.chunk_max_lab) & win_valid & row_ok[:, None]
+            if over.any():
+                raise RuntimeError(
+                    f"chunk window emitted {int(n_lab[over].max())} labels "
+                    f"> chunk_max_lab {o.chunk_max_lab}; raise "
+                    "BasecallOptions.chunk_max_lab"
+                )
+        def stitch_one(j):
+            if o.consensus == "reference" and n_lab is not None:
+                # fused path + native stitcher: fragments + consensus in
+                # one C++ call from the packed nibbles (GIL released
+                # during the call, so the thread pool below really
+                # parallelises)
+                from radian_tpu.ops.consensus import assemble_read_packed
+
+                seq = assemble_read_packed(packed[j, : int(n_wins[j])])
+                if seq is not None:
+                    return seq[::-1]
+            frags = rows_to_seqs(unpack_labels(packed[j, : int(n_wins[j])]))
             if o.consensus == "device":
                 from radian_tpu.ops.consensus_device import (
                     assemble_fragments_device,
@@ -631,7 +839,17 @@ class Basecaller:
                 seq = assemble_fragments_device(frags)
             else:
                 seq = assemble_fragments(frags)
-            results[i] = seq[::-1]  # 5'→3' like the reference driver
+            return seq[::-1]  # 5'→3' like the reference driver
+
+        todo = [(j, i) for j, i in enumerate(idxs[:real]) if not bad[j]]
+        if len(todo) > 3:
+            for (j, i), seq in zip(
+                todo, _stitch_pool().map(stitch_one, [j for j, _ in todo])
+            ):
+                results[i] = seq
+        else:
+            for j, i in todo:
+                results[i] = stitch_one(j)
 
     def basecall_stream(
         self,

@@ -56,6 +56,13 @@ def main():
     ap.add_argument("--dwell", type=float, default=40.0)
     ap.add_argument("--dwell-std", type=float, default=8.0)
     ap.add_argument("--noise", type=float, default=0.12)
+    ap.add_argument("--eval-noise", type=float, default=None,
+                    help="noise sigma for the held-out eval reads "
+                         "(default: same as --noise); a mismatch probes "
+                         "the uncertain-signal regime without retraining")
+    ap.add_argument("--threshold-sweep", action="store_true",
+                    help="also evaluate bf16+LM at sig_threshold 0.3/0.7 "
+                         "(gate sensitivity)")
     # noise vs k-mer level spacing (0.063 for 64 levels over
     # [-2,2]): at 0.25 adjacent levels stay ~1.6 sigma apart even
     # after dwell-averaging (irreducible confusions, CTC never
@@ -67,6 +74,9 @@ def main():
     ap.add_argument("--read-bases", type=int, default=370)
     ap.add_argument("--markov-p", type=float, default=0.9)
     ap.add_argument("--out", default="bench_data/trained")
+    ap.add_argument("--result-name", default=None,
+                    help="results json filename (default accuracy.json / "
+                         "accuracy_chunk.json)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true",
                     help="tiny model / few steps / few reads")
@@ -85,7 +95,10 @@ def main():
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
 
     from radian_tpu.config import default_config
-    from radian_tpu.eval.align import read_identity
+    from radian_tpu.eval.align import (
+        random_identity_baseline,
+        read_identity,
+    )
     from radian_tpu.models.checkpoint import load_params_npz, save_params_npz
     from radian_tpu.pipeline import Basecaller, BasecallOptions
     from radian_tpu.train.trainer import TrainConfig, Trainer
@@ -185,10 +198,13 @@ def main():
         save_params_npz(params, out / "params.npz")
 
     # held-out reads from the Markov chain
+    eval_kw = dict(synth_kw)
+    if args.eval_noise is not None:
+        eval_kw["noise"] = args.eval_noise
     rng_eval = np.random.default_rng(1234)
     reads = [
         synth_read(rng_eval, args.read_bases, levels, trans=trans,
-                   **synth_kw)
+                   **eval_kw)
         for _ in range(args.eval_reads)
     ]
     sigs = [(r[0] * 100 + 500).astype(np.int16) for r in reads]
@@ -196,23 +212,66 @@ def main():
     print(f"LM entropy: min {lm.entropy.min():.3f} max {lm.entropy.max():.3f} "
           f"(r_threshold default 0.5)", flush=True)
 
+    def gate_open_rate(bc, sigs, s_thr):
+        """Fraction of decode timesteps whose signal entropy exceeds the
+        gate threshold (the LM side of the gate is constant for the
+        first-order Markov LM: every context has the same entropy, so
+        gate-open ⇔ signal-uncertain whenever that entropy < r_thr —
+        reference decode.py:79-96)."""
+        import jax.numpy as jnp
+
+        from radian_tpu.ops.beam_search import signal_entropies
+
+        bucket = -(-max(len(s) for s in sigs) // 4096) * 4096
+        n = len(sigs)
+        padded = np.zeros((n, bucket), np.int16)
+        lengths = np.zeros(n, np.int32)
+        for j, s in enumerate(sigs):
+            padded[j, : len(s)] = s
+            lengths[j] = len(s)
+        mats, t_reads, _ = bc._prep_fullread(
+            bc.params, jnp.asarray(padded), jnp.asarray(lengths)
+        )
+        import jax
+
+        ents = np.asarray(jax.vmap(signal_entropies)(mats))  # [n, T]
+        t_reads = np.asarray(t_reads)
+        valid = np.arange(ents.shape[1])[None, :] < t_reads[:, None]
+        return float((ents[valid] > s_thr).mean())
+
     configs = [
-        ("f32+LM", "float32", True, None),
-        ("bf16+LM", "bfloat16", True, None),
-        ("bf16 no-LM", "bfloat16", False, None),
+        ("f32+LM", "float32", True, None, None),
+        ("bf16+LM", "bfloat16", True, None, None),
+        ("bf16 no-LM", "bfloat16", False, None, None),
     ]
+    if args.threshold_sweep:
+        configs += [
+            ("bf16+LM s_thr=0.3", "bfloat16", True, None, 0.3),
+            ("bf16+LM s_thr=0.7", "bfloat16", True, None, 0.7),
+        ]
     if args.chunk:
         configs += [
-            ("bf16 chunk ref-cons", "bfloat16", False, "reference"),
-            ("bf16 chunk dev-cons", "bfloat16", False, "device"),
+            ("bf16 chunk ref-cons", "bfloat16", False, "reference", None),
+            ("bf16 chunk dev-cons", "bfloat16", False, "device", None),
         ]
     results = {}
     seqs_by_tag = {}
-    for tag, dtype, use_lm, consensus in configs:
+    rng_base = np.random.default_rng(0)
+    results["random_baseline_median"] = float(np.median([
+        random_identity_baseline(
+            "".join(BASES[b] for b in labels), len(labels), rng_base)
+        for _, labels in reads
+    ]))
+    print(f"random-call identity baseline (median): "
+          f"{results['random_baseline_median']:.2f}%", flush=True)
+    gate_rate_done = False
+    for tag, dtype, use_lm, consensus, s_thr in configs:
         opt_kw = dict(
             read_batch=min(args.eval_reads, 128 if consensus is None else 32),
             bucket_quantum=4096,
         )
+        if s_thr is not None:
+            opt_kw.update(sig_threshold=s_thr)
         if consensus is not None:
             opt_kw.update(decode_type="chunk", consensus=consensus)
         bc = Basecaller(
@@ -220,6 +279,14 @@ def main():
             compute_dtype=dtype,
             options=BasecallOptions(**opt_kw),
         )
+        if use_lm and consensus is None and not gate_rate_done:
+            gate_rate_done = True
+            for thr in (0.3, 0.5, 0.7):
+                results[f"gate_open_rate_sthr_{thr}"] = gate_open_rate(
+                    bc, sigs, thr)
+            print("gate-open rate (signal entropy > s_thr): " + "  ".join(
+                f"thr {t}: {results[f'gate_open_rate_sthr_{t}']:.3f}"
+                for t in (0.3, 0.5, 0.7)), flush=True)
         t0 = time.perf_counter()
         seqs = bc.basecall_signals(sigs)
         dt = time.perf_counter() - t0
@@ -250,7 +317,8 @@ def main():
         print(f"chunk consensus exact agreement: {exact}/{len(a)}",
               flush=True)
 
-    path = out / ("accuracy_chunk.json" if args.chunk else "accuracy.json")
+    path = out / (args.result_name or
+                  ("accuracy_chunk.json" if args.chunk else "accuracy.json"))
     with open(path, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {path}", flush=True)

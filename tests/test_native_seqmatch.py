@@ -149,3 +149,24 @@ def test_native_consensus_edge_cases(native):
     for frags in (["", ""], ["ACGTACGT", ""], ["", "ACGT"],
                   ["ACGTAC", "", "GTACGT"]):
         assert _assemble_native(frags) == _python_consensus(frags), frags
+
+
+def test_assemble_read_packed_fuzz(native, rng):
+    """AssembleRead (nibble-packed rows -> consensus in one C++ call) ==
+    rows_to_seqs + python consensus on compacted label rows."""
+    from radian_tpu.ops.beam_search import rows_to_seqs
+    from radian_tpu.ops.consensus import assemble_read_packed
+
+    for trial in range(60):
+        n_wins = int(rng.integers(1, 12))
+        max_lab = 2 * int(rng.integers(2, 40))
+        rows = np.full((n_wins, max_lab), -1, np.int8)
+        for w in range(n_wins):
+            m = int(rng.integers(0, max_lab + 1))
+            rows[w, :m] = rng.integers(0, 4, m)
+        packed = (rows[:, 0::2] + 1).astype(np.uint8) | \
+            ((rows[:, 1::2] + 1).astype(np.uint8) << 4)
+        got = assemble_read_packed(packed)
+        assert got is not None
+        frags = rows_to_seqs(rows)
+        assert got == _python_consensus(frags), (trial, rows)

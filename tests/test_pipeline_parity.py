@@ -118,6 +118,40 @@ def test_chunk_mode_parity(shared_params, signals):
     assert got == expected
 
 
+def test_chunk_fused_matches_windows(shared_params, signals):
+    """The fused streaming chunk program (one full-read forward +
+    zero-history head fix-up + in-scan decode + label compaction) decodes
+    the same strings as the materialised windows path."""
+    sigs = [signals[0][:3000], signals[1][:1100], signals[2][:4000]]
+    outs = {}
+    for prep in ("windows", "fused"):
+        bc = Basecaller(
+            shared_params,
+            options=BasecallOptions(
+                decode_type="chunk", chunk_prep=prep, read_batch=3,
+                bucket_quantum=1024,
+            ),
+        )
+        outs[prep] = bc.basecall_signals(sigs)
+    assert outs["fused"] == outs["windows"]
+
+
+def test_chunk_fused_overflow_raises(shared_params, signals):
+    """A chunk_max_lab smaller than a window's emission count fails
+    loudly instead of silently truncating the fragment."""
+    import pytest
+
+    bc = Basecaller(
+        shared_params,
+        options=BasecallOptions(
+            decode_type="chunk", chunk_prep="fused", read_batch=1,
+            bucket_quantum=1024, chunk_max_lab=2,
+        ),
+    )
+    with pytest.raises(RuntimeError, match="chunk_max_lab"):
+        bc.basecall_signals([signals[0][:1500]])
+
+
 def test_skip_bad_reads(shared_params):
     """Constant signal (MAD=0) is skipped like the reference driver."""
     good = np.random.default_rng(0).integers(200, 800, 2000).astype(np.int16)
