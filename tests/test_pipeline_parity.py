@@ -206,3 +206,95 @@ def test_lm_layout_autopick(rng):
     bc = Basecaller(params, lm=big,
                     options=BasecallOptions(context_len=11))
     assert not bc._lm_packed
+
+
+def test_global_parity_beam_width_8(shared_params, signals):
+    """beam_width 8 == the Pallas kernel's WSUB boundary; exercises the
+    selection/merge logic at full sublane occupancy (VERDICT r3 task 8)."""
+    sigs = [signals[0][:2000]]
+    expected = [
+        _reference_pipeline(s, shared_params, "global", beam_width=8)
+        for s in sigs
+    ]
+    bc = Basecaller(
+        shared_params, options=BasecallOptions(read_batch=1, beam_width=8)
+    )
+    got = bc.basecall_signals(sigs)
+    assert got == expected
+
+
+def test_chunk_parity_beam_width_8(shared_params, signals):
+    sigs = [signals[0][:1500]]
+    expected = [
+        _reference_pipeline(s, shared_params, "chunk", beam_width=8)
+        for s in sigs
+    ]
+    bc = Basecaller(
+        shared_params,
+        options=BasecallOptions(
+            decode_type="chunk", read_batch=1, beam_width=8
+        ),
+    )
+    got = bc.basecall_signals(sigs)
+    assert got == expected
+
+
+@pytest.mark.parametrize("ctx_len", [1, 12])
+def test_global_parity_lm_ctx_edge(shared_params, signals, ctx_len):
+    """LM context-length edges: 1 (minimum context) and 12 (one past the
+    reference default; 4^12 contexts stress the base-4 packing)."""
+    rng = np.random.default_rng(11 + ctx_len)
+    model_dict = random_kmer_model(
+        rng, context_len=ctx_len, n_contexts=min(4 ** ctx_len, 2000),
+        concentration=0.2,
+    )
+    lm = build_dense_tables(model_dict, ctx_len)
+    sigs = [signals[0][:1200]]
+    expected = [
+        _reference_pipeline(
+            s, shared_params, "global", lm=_DenseDictView(lm),
+            s_thr=0.1, r_thr=1.38, ctx_len=ctx_len,
+        )
+        for s in sigs
+    ]
+    bc = Basecaller(
+        shared_params,
+        lm=lm,
+        options=BasecallOptions(
+            sig_threshold=0.1, rna_threshold=1.38, context_len=ctx_len,
+            read_batch=1,
+        ),
+    )
+    got = bc.basecall_signals(sigs)
+    assert got == expected
+
+
+def test_global_parity_lm_packed_and_dense(shared_params, signals,
+                                           monkeypatch):
+    """The packed-LM auto-pick is exercised e2e: the 3000-context LM
+    packs under the threshold (packed path), and forcing the threshold
+    to 0 runs the dense path — both must match the oracle exactly."""
+    import radian_tpu.pipeline as pl
+
+    rng = np.random.default_rng(7)
+    model_dict = random_kmer_model(rng, context_len=11, n_contexts=3000,
+                                   concentration=0.2)
+    lm = build_dense_tables(model_dict, 11)
+    sigs = [signals[0][:1200]]
+    expected = [
+        _reference_pipeline(
+            s, shared_params, "global", lm=_DenseDictView(lm),
+            s_thr=0.1, r_thr=1.38, ctx_len=11,
+        )
+        for s in sigs
+    ]
+    opts = BasecallOptions(sig_threshold=0.1, rna_threshold=1.38,
+                           read_batch=1)
+    bc = Basecaller(shared_params, lm=lm, options=opts)
+    assert bc._lm_packed, "3000-context LM should auto-pick packed"
+    assert bc.basecall_signals(sigs) == expected
+
+    monkeypatch.setattr(pl, "PACKED_LM_MAX_BYTES", 0)
+    bc_dense = Basecaller(shared_params, lm=lm, options=opts)
+    assert not bc_dense._lm_packed
+    assert bc_dense.basecall_signals(sigs) == expected
