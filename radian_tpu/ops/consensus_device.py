@@ -47,10 +47,17 @@ def consensus_votes(frags, lens, *, max_disp: int, out_len: int,
     pos_iota = jnp.arange(l)
 
     def pair_disp(prev, prev_len, cur, cur_len):
-        """Best displacement of ``cur`` against ``prev`` by match count;
-        ties prefer the smallest |d| (positive over negative at equal
-        magnitude), so zero-overlap pairs fall back to d=0 rather than
-        the most negative candidate."""
+        """Best displacement of ``cur`` against ``prev`` by 4-run count:
+        the number of positions where FOUR consecutive bases all match.
+        Raw match count is brittle under indels (a single early indel
+        de-phases the rest of the overlap yet still scores ~25% random
+        matches); counting only length-4 all-match runs approximates
+        difflib's longest-block robustness (measured on trained-weights
+        fragments: stitched identity 84.6 → 87.7 vs difflib's 88.3 —
+        scripts/exp_chunk_attrib.py + NOTES round 4) and stays one
+        shifted-AND reduce on the VPU.  Ties prefer the smallest |d|
+        (positive over negative at equal magnitude), so zero-overlap
+        pairs fall back to d=0."""
         disps = jnp.arange(min_disp, max_disp)
 
         def score(d):
@@ -58,7 +65,9 @@ def consensus_votes(frags, lens, *, max_disp: int, out_len: int,
             idx = d + pos_iota
             ok = (idx >= 0) & (idx < prev_len) & (pos_iota < cur_len)
             prev_at = prev[jnp.clip(idx, 0, l - 1)]
-            return jnp.sum(jnp.where(ok & (prev_at == cur), 1, 0))
+            m = ok & (prev_at == cur)
+            run4 = m[:-3] & m[1:-2] & m[2:-1] & m[3:]
+            return jnp.sum(jnp.where(run4, 1, 0))
 
         scores = jax.vmap(score)(disps)
         # composite key: integer match count, then -2|d| + (d>=0)
