@@ -304,6 +304,8 @@ def main():
             "min_identity": float(accs.min()),
             "reads": len(accs),
             "seconds": dt,
+            # per-read accuracies: paired LM-on/off deltas need them
+            "per_read": [round(float(a), 4) for a in accs],
         }
         print(f"{tag:12s} median {np.median(accs):6.2f}%  "
               f"mean {np.mean(accs):6.2f}%  min {accs.min():6.2f}%  "

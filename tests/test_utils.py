@@ -65,3 +65,24 @@ def test_markov_synthetics(rng):
 
     sig, labs = synth_read(rng, 50, kmer_level_table(rng), trans=trans)
     assert sig.ndim == 1 and len(labs) == 50
+
+
+def test_print_dataset_and_same_label(rng, tmp_path):
+    """Plot helpers (reference utilities.py:63-148 counterparts) render
+    to files headlessly."""
+    from radian_tpu.utils.inspect import (
+        print_dataset,
+        print_same_label_signals,
+    )
+
+    levels = kmer_level_table(rng)
+    batches = [synth_windows(rng, 4, window=256, levels=levels)]
+    fig = print_dataset(batches, n_windows=4,
+                        out_path=tmp_path / "ds.png")
+    assert (tmp_path / "ds.png").exists()
+    target = label_to_sequence(batches[0]["labels"][0],
+                               batches[0]["label_length"][0])
+    found = print_same_label_signals(
+        batches, target, out_path=tmp_path / "same.png")
+    assert len(found) >= 1
+    assert (tmp_path / "same.png").exists()
