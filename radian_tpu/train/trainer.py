@@ -221,8 +221,8 @@ class Trainer:
 
     # -- loops ------------------------------------------------------------
 
-    def _put_batch(self, batch: dict):
-        """Shard a host batch; pads to a multiple of the data axis with
+    def _host_batch(self, batch: dict) -> dict:
+        """Pad a host batch to a multiple of the data axis with
         zero-weight filler rows so short final batches still run."""
         n = batch["signal"].shape[0]
         d = self.mesh.shape["data"]
@@ -238,10 +238,102 @@ class Trainer:
         if pad:
             weight = np.concatenate([weight, np.zeros(pad, np.float32)])
         out["weight"] = weight
+        return out
+
+    def _put_batch(self, batch: dict):
+        """Shard a host batch onto the mesh."""
         return {
             k: jax.device_put(jnp.asarray(v), self._batch_shard[k])
-            for k, v in out.items()
+            for k, v in self._host_batch(batch).items()
         }
+
+    # -- device-resident epoch scan ---------------------------------------
+
+    def preload_batches(self, batches: list[dict]):
+        """Stack equal-shape host batches into device-resident arrays.
+
+        Over a remote-device link (axon tunnel) the per-step host→device
+        round trip dominates training (measured round 4: ~1.46 s/step at
+        128×1024 — 40× the 36 ms device step).  Uploading the whole
+        batch pool ONCE and scanning epochs on device
+        (:meth:`train_epoch_scan`) removes every per-step round trip.
+        Returns the stacked pytree ({k: [S, ...]}) to pass to the scan.
+        """
+        proc = [self._host_batch(b) for b in batches]
+        stacked = {
+            k: np.stack([p[k] for p in proc]) for k in proc[0]
+        }
+        shard = {
+            k: NamedSharding(
+                self.mesh, P(None, *self._batch_shard[k].spec)
+            )
+            for k in stacked
+        }
+        return {
+            k: jax.device_put(jnp.asarray(v), shard[k])
+            for k, v in stacked.items()
+        }
+
+    def _epoch_scan_fns(self):
+        if not hasattr(self, "_scan_jit"):
+            train_step, eval_step = make_train_step(
+                self.model, self.tx, self.tcfg.blank_id
+            )
+
+            def train_scan(state, stacked, idxs):
+                def body(st, i):
+                    batch = jax.tree.map(lambda x: x[i], stacked)
+                    st, loss = train_step(st, batch)
+                    return st, loss
+
+                return jax.lax.scan(body, state, idxs)
+
+            def eval_scan(params, stacked):
+                def body(_, i):
+                    batch = jax.tree.map(lambda x: x[i], stacked)
+                    return None, eval_step(params, batch)
+
+                n = stacked["signal"].shape[0]
+                _, losses = jax.lax.scan(
+                    body, None, jnp.arange(n, dtype=jnp.int32)
+                )
+                return losses.mean()
+
+            self._scan_jit = jax.jit(train_scan, donate_argnums=(0,))
+            self._eval_scan_jit = jax.jit(eval_scan)
+        return self._scan_jit, self._eval_scan_jit
+
+    def train_epoch_scan(self, stacked, epoch: int, steps: int,
+                         start: int = 0) -> float:
+        """One jitted ``lax.scan`` over ``steps`` train steps — a single
+        dispatch per epoch.  ``start`` cycles through the pool
+        (batch for step s = ``stacked[(start + s) % S]``)."""
+        train_scan, _ = self._epoch_scan_fns()
+        s_total = int(jax.tree.leaves(stacked)[0].shape[0])
+        idxs = (start + jnp.arange(steps, dtype=jnp.int32)) % s_total
+        t0 = time.time()
+        self.state, losses = train_scan(self.state, stacked, idxs)
+        losses = np.asarray(losses)
+        step = int(self.state.step)
+        for i in range(0, len(losses), self.tcfg.log_every):
+            chunk = losses[i : i + self.tcfg.log_every]
+            self._log("train/loss", float(chunk.mean()),
+                      step - len(losses) + i + len(chunk))
+        n_windows = steps * stacked["signal"].shape[1]
+        self._log("train/windows_per_s",
+                  n_windows / max(time.time() - t0, 1e-9), step)
+        mean = float(losses.mean())
+        self._log("train/epoch_loss", mean, epoch)
+        return mean
+
+    def evaluate_scan(self, stacked, epoch: int | None = None,
+                      tag: str = "val/loss") -> float:
+        """Jitted full-pool eval — one dispatch."""
+        _, eval_scan = self._epoch_scan_fns()
+        mean = float(eval_scan(self.state.params, stacked))
+        if epoch is not None:
+            self._log(tag, mean, epoch)
+        return mean
 
     def train_epoch(self, dataset: Iterable[dict], epoch: int) -> float:
         losses = []

@@ -184,12 +184,18 @@ def main():
 
         steps_per_epoch = 100 if not args.quick else 20
         n_epochs = max(1, args.steps // steps_per_epoch)
-        train_iter = itertools.cycle(batches)
+        # device-resident pool + one-scan epochs: per-step host→device
+        # round trips over the tunnel cost ~1.46 s/step (40× the device
+        # step) — preloading makes the whole run tunnel-free
+        pool = trainer.preload_batches(batches)
+        val_pool = trainer.preload_batches(val)
         t0 = time.perf_counter()
         for ep in range(n_epochs):
-            tl = trainer.train_epoch(
-                itertools.islice(train_iter, steps_per_epoch), epoch=ep)
-            vl = trainer.evaluate(val, epoch=ep)
+            tl = trainer.train_epoch_scan(
+                pool, epoch=ep, steps=steps_per_epoch,
+                start=(ep * steps_per_epoch) % len(batches),
+            )
+            vl = trainer.evaluate_scan(val_pool, epoch=ep)
             trainer.save_checkpoint(ep, val_loss=vl)
             print(f"epoch {ep}: train ctc {tl:.3f}  val ctc {vl:.3f}  "
                   f"({time.perf_counter() - t0:.0f}s)", flush=True)
