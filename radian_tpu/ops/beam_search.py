@@ -62,11 +62,15 @@ validated against the pure-python reference oracle.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# measurement-only: see the gather site in _step (scripts/exp_gate_clamp)
+_GATE_CLAMP_PROBE = os.environ.get("RADIAN_GATE_CLAMP_PROBE") == "1"
 
 N_BASES = 4
 BLANK = 4
@@ -334,6 +338,13 @@ def _step(state: BeamState, xs, *, beam_width, lm_table, ctx_mod,
         # speculative 4-extension prefetch ([4,W,N] rows) is a 4× loss,
         # and W·N is the minimum index count the semantics admit.
         idx = jnp.where(is_ext_all, new_ctx_full, 0)
+        if _GATE_CLAMP_PROBE:
+            # measurement-only traffic probe (VERDICT r3 task 4): clamp
+            # the gather to row 0 on lanes whose signal-entropy gate is
+            # closed THIS step, approximating a gather-at-consult
+            # restructure's traffic.  NOT exact (rows can be consulted
+            # later) — never enable in production.
+            idx = jnp.where(s_ent > jnp.float32(s_thr), idx, 0)
         if isinstance(lm_table, tuple):
             # packed sparse tables (KmerLM.compressed): two small-span
             # gathers replace one gather over the 84 MB dense table.
