@@ -71,9 +71,14 @@ def _stitch_pool():
 
 
 # Packed-vs-dense LM layout crossover (bytes of the packed working set).
-# Derived from the production-decoder sweep in scripts/exp_lm_tablesize.py
-# (see the Basecaller.__init__ comment for the datapoints); kept with
-# margin below the measured ~4 MB crossover at N=256.
+# Backed by the 4×5-cell production-decoder sweep in
+# scripts/exp_packed_crossover.py (bench_data/packed_crossover.json,
+# N ∈ {64,128,256,512} × packed {1.4, 2.0, 3.2, 5.0} MB vs dense 84 MB):
+# packed wins at ≤2.0 MB at EVERY batch size (e.g. N=256: 23.8-24.7 vs
+# 34.8 dense µs/step; N=512: 32-41 vs 70), is borderline at 3.2 MB
+# (wins at N≥128, loses at N=64), and loses at 5.0 MB — so 3 MB is a
+# batch-size-robust conservative cut.  Override per run with
+# BasecallOptions.packed_lm_max_bytes.
 PACKED_LM_MAX_BYTES = 3_000_000
 
 
@@ -145,6 +150,9 @@ class BasecallOptions:
     # stays at chunk_len/2; trained weights emit ~1 base per ~12+
     # samples — tune down (e.g. 128) for less device→host traffic.
     chunk_max_lab: int = 512
+    # packed-LM layout cut in bytes (None = module PACKED_LM_MAX_BYTES,
+    # measured batch-size-robust; see scripts/exp_packed_crossover.py)
+    packed_lm_max_bytes: int | None = None
 
 
 def _prep_and_model(
@@ -529,9 +537,11 @@ class Basecaller:
         # 2.0 MB 16.1, 5.0 MB 29.9 — crossover ~ 4 MB; PACKED_LM_MAX_BYTES
         # picks packed under that with margin (~110k real contexts).
         self._lm_packed = False
-        if lm is not None and _packed_lm_bound_bytes(lm) < PACKED_LM_MAX_BYTES:
+        packed_cut = (o.packed_lm_max_bytes if o.packed_lm_max_bytes
+                      is not None else PACKED_LM_MAX_BYTES)
+        if lm is not None and _packed_lm_bound_bytes(lm) < packed_cut:
             l1, vals = lm.compressed()
-            if l1.nbytes + vals.nbytes < PACKED_LM_MAX_BYTES:
+            if l1.nbytes + vals.nbytes < packed_cut:
                 self._lm_packed = True
                 self._lm_t1 = jnp.asarray(l1)
                 self._lm_t2 = jnp.asarray(vals)
