@@ -59,6 +59,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "values); 'strips' = per-window kept-slab "
                         "compute; 'windows' = reference op order; "
                         "'auto' picks fullread whenever valid")
+    p.add_argument("--chunk-prep", choices=["auto", "fused", "windows"],
+                   default="auto",
+                   help="chunk-mode execution: 'fused' streams window "
+                        "slabs through one full-read forward + head "
+                        "fix-up + in-scan decode (fastest); 'windows' "
+                        "= materialised reference-order path")
+    p.add_argument("--chunk-max-lab", default=512, type=int,
+                   help="per-window emission cap for the fused path's "
+                        "label compaction (overflow raises; tune down "
+                        "for trained models to cut device->host bytes)")
+    p.add_argument("--consensus", choices=["reference", "device"],
+                   default="reference",
+                   help="chunk-mode stitcher: 'reference' = exact "
+                        "difflib semantics (native C++); 'device' = "
+                        "jitted offset-correlation (4-run scoring)")
     p.add_argument("--seed", default=0, type=int,
                    help="init seed when no --sig-model is given")
     p.add_argument("--mesh-data", type=int, default=None,
@@ -98,6 +113,9 @@ def main(argv=None) -> None:
         assembly_mode=args.assembly_mode,
         read_batch=args.read_batch,
         prep_mode=args.prep_mode,
+        chunk_prep=args.chunk_prep,
+        chunk_max_lab=args.chunk_max_lab,
+        consensus=args.consensus,
         bucket_lengths=(
             tuple(int(x) for x in args.bucket_lengths.split(","))
             if args.bucket_lengths else None
