@@ -71,6 +71,17 @@ def main():
         print(f"bs={bs:5d} {dt*1e3:8.1f} ms/step (device-only)  "
               f"{bs/dt:10.0f} windows/s", flush=True)
 
+        # epoch scan: device-resident pool, one dispatch per epoch —
+        # the production training path over a remote-device link
+        pool = trainer.preload_batches([batch] * 8)
+        scan_steps = 100
+        trainer.train_epoch_scan(pool, epoch=0, steps=scan_steps)  # warm
+        t0 = time.perf_counter()
+        trainer.train_epoch_scan(pool, epoch=1, steps=scan_steps)
+        dt = (time.perf_counter() - t0) / scan_steps
+        print(f"bs={bs:5d} {dt*1e3:8.1f} ms/step (epoch-scan)  "
+              f"{bs/dt:10.0f} windows/s", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -60,3 +60,26 @@ def test_bucket_ladder_caps_programs():
     rng = np.random.default_rng(0)
     seqs = bc.basecall_signals([rng.integers(300, 700, 600).astype(np.int16)])
     assert seqs[0] is not None
+
+
+def test_streaming_chunk_fused(shared_params, signals, tmp_path):  # noqa: F811
+    """Streaming mode over the fused chunk path matches batch mode."""
+    reads = [
+        Fast5Read(read_id=f"c{i:02d}", signal=s[:2400])
+        for i, s in enumerate(signals[:3])
+    ]
+    bc = Basecaller(
+        shared_params,
+        options=BasecallOptions(
+            decode_type="chunk", read_batch=2, bucket_quantum=1024
+        ),
+    )
+    assert bc.use_chunk_fused
+    out_a = tmp_path / "batch"
+    out_b = tmp_path / "stream"
+    bc.basecall_directory(None, out_a, verbose=False, reads=reads)
+    bc.basecall_directory(None, out_b, verbose=False, reads=iter(reads),
+                          streaming=True)
+    a = read_fasta(out_a / "reads-0.fasta")
+    b = read_fasta(out_b / "reads-0.fasta")
+    assert a == b and len(a) == 3
