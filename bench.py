@@ -91,6 +91,8 @@ def main():
             bucket_quantum=QUANTUM,
             # measured max emission on this workload: 285 labels/window
             chunk_max_lab=384,
+            # 'fullprobs' benches the corrected no-head-fixup variant
+            chunk_prep=os.environ.get("BENCH_CHUNK_PREP", "auto"),
         )
         bc = Basecaller(params, compute_dtype=jnp.bfloat16, options=opts)
     else:

@@ -59,12 +59,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "values); 'strips' = per-window kept-slab "
                         "compute; 'windows' = reference op order; "
                         "'auto' picks fullread whenever valid")
-    p.add_argument("--chunk-prep", choices=["auto", "fused", "windows"],
+    p.add_argument("--chunk-prep",
+                   choices=["auto", "fused", "fullprobs", "windows"],
                    default="auto",
                    help="chunk-mode execution: 'fused' streams window "
                         "slabs through one full-read forward + head "
-                        "fix-up + in-scan decode (fastest); 'windows' "
-                        "= materialised reference-order path")
+                        "fix-up + in-scan decode (fast, reference "
+                        "window values); 'fullprobs' slices window "
+                        "probs from the full-read pass (corrected: "
+                        "true left context, no zero-history heads — "
+                        "fastest and more accurate, non-parity); "
+                        "'windows' = materialised reference-order path")
     p.add_argument("--chunk-max-lab", default=512, type=int,
                    help="per-window emission cap for the fused path's "
                         "label compaction (overflow raises; tune down "

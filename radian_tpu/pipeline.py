@@ -142,7 +142,12 @@ class BasecallOptions:
     # on-device label compaction (see _chunk_fused) — no [N, W, T, 5]
     # probs tensor, so read_batch 256 fits; 'windows' is the original
     # materialised path.  'auto' = fused when the geometry allows.
-    chunk_prep: str = "auto"  # 'auto' | 'fused' | 'windows'
+    # 'fullprobs' is the CORRECTED (non-parity) variant: window probs
+    # are sliced straight from the full-read pass, so every window sees
+    # its true left context instead of the reference's zero history —
+    # no head fix-up forward (1× FLOPs) and measurably better fragments
+    # (the zero-history heads cost ~4 identity points, NOTES round 4).
+    chunk_prep: str = "auto"  # 'auto' | 'fused' | 'fullprobs' | 'windows'
     chunk_slab: int = 4  # windows decoded per scan step in the fused path
     # per-window emission cap for the fused path's label compaction;
     # overflow raises on the host (never silent).  Random weights can
@@ -375,6 +380,10 @@ def _chunk_fused(params, signals, lengths, *, model: SigToSeq,
     # a window cannot emit more than its timestep count; clamp the
     # compaction width (keep it even for nibble packing)
     max_lab = min(max_lab, window - window % 2)
+    # 'fullprobs' (head == 0): corrected mode — windows take their probs
+    # straight from the full-read pass (true left context, no
+    # zero-history fix-up forward)
+    full_ctx = head == 0
 
     def norm_one(sig, ln):
         return mad_normalise(sig, ln, outlier_clip=o.outlier_clip)
@@ -406,24 +415,30 @@ def _chunk_fused(params, signals, lengths, *, model: SigToSeq,
         starts = jnp.minimum(
             w_idx[None, :] * step, tail_start[:, None]
         )  # [N, slab]
-        # zero-history heads: window content [0, head) (norm is already
-        # zero past `length`, and starts+head-1 < L always — see strips)
-        hidx = starts[..., None] + head_iota  # [N, slab, head]
-        strips = jnp.take_along_axis(
-            norm, jnp.minimum(hidx, sig_len - 1).reshape(n, -1), axis=1
-        ).reshape(n, slab, head)
-        head_probs = model.apply(
-            {"params": params}, strips.reshape(n * slab, head, 1),
-            probs=True,
-        ).reshape(n, slab, head, -1)
-        # tails from the full-read probs at absolute positions
+        # tails (or, in 'fullprobs' mode, whole windows) from the
+        # full-read probs at absolute positions
         tidx = (starts[..., None] + tail_iota).reshape(n, -1)
         tail_probs = jnp.take_along_axis(
             probs_full, tidx[..., None], axis=1
         ).reshape(n, slab, window - head, -1)
-        probs = jnp.concatenate(
-            [head_probs.astype(tail_probs.dtype), tail_probs], axis=2
-        ).reshape(n * slab, window, -1).astype(jnp.float32)
+        if full_ctx:
+            probs = tail_probs.reshape(n * slab, window, -1)
+            probs = probs.astype(jnp.float32)
+        else:
+            # zero-history heads: window content [0, head) (norm is
+            # already zero past `length`, and starts+head-1 < L always)
+            hidx = starts[..., None] + head_iota  # [N, slab, head]
+            strips = jnp.take_along_axis(
+                norm, jnp.minimum(hidx, sig_len - 1).reshape(n, -1),
+                axis=1,
+            ).reshape(n, slab, head)
+            head_probs = model.apply(
+                {"params": params}, strips.reshape(n * slab, head, 1),
+                probs=True,
+            ).reshape(n, slab, head, -1)
+            probs = jnp.concatenate(
+                [head_probs.astype(tail_probs.dtype), tail_probs], axis=2
+            ).reshape(n * slab, window, -1).astype(jnp.float32)
         lens = jnp.where(
             w_idx[None, :] == n_wins[:, None] - 1,
             window - pad_ends[:, None], window,
@@ -635,17 +650,19 @@ class Basecaller:
         )
         # fused chunk path: head = zero-history fix-up length (>= RF-1,
         # rounded up to the 128 lane tile); requires it to fit the window
-        chunk_head = -(-(rf - 1) // 128) * 128
+        chunk_head = (0 if o.chunk_prep == "fullprobs"
+                      else -(-(rf - 1) // 128) * 128)
         self.use_chunk_fused = (
             o.decode_type == "chunk"
-            and o.chunk_prep in ("auto", "fused")
+            and o.chunk_prep in ("auto", "fused", "fullprobs")
             and chunk_head < o.chunk_len
             and o.chunk_max_lab % 2 == 0
         )
-        if o.chunk_prep == "fused" and not self.use_chunk_fused:
+        if o.chunk_prep in ("fused", "fullprobs") and \
+                not self.use_chunk_fused:
             raise ValueError(
-                f"chunk_prep='fused' needs head {chunk_head} < chunk_len "
-                f"{o.chunk_len} and an even chunk_max_lab"
+                f"chunk_prep={o.chunk_prep!r} needs head {chunk_head} < "
+                f"chunk_len {o.chunk_len} and an even chunk_max_lab"
             )
         self._chunk_fused_prog = self._device_fn(
             functools.partial(

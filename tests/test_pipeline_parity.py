@@ -298,3 +298,19 @@ def test_global_parity_lm_packed_and_dense(shared_params, signals,
     bc_dense = Basecaller(shared_params, lm=lm, options=opts)
     assert not bc_dense._lm_packed
     assert bc_dense.basecall_signals(sigs) == expected
+
+
+def test_chunk_fullprobs_mode(shared_params, signals):
+    """'fullprobs' (corrected, non-parity) chunk mode: window probs come
+    from the full-read pass — runs end-to-end and emits base strings."""
+    sigs = [signals[0][:3000], signals[1][:1100]]
+    bc = Basecaller(
+        shared_params,
+        options=BasecallOptions(
+            decode_type="chunk", chunk_prep="fullprobs", read_batch=2,
+            bucket_quantum=1024,
+        ),
+    )
+    assert bc.use_chunk_fused
+    out = bc.basecall_signals(sigs)
+    assert all(s and set(s) <= set("ACGT") for s in out)
