@@ -244,4 +244,31 @@ long AssembleRead(const uint8_t* packed, long n_wins, long bytes_per_win,
   return AssembleFragments(frags.data(), offsets.data(), n_wins, out);
 }
 
+// AssembleRead over 2-bit-packed rows: labels 0..3 four-per-byte plus an
+// explicit per-window emission count (n_lab) instead of the nibble
+// format's 0 sentinel — half the device→host bytes (pack_labels2 in
+// radian_tpu/ops/beam_search.py).
+long AssembleRead2(const uint8_t* packed, const int32_t* n_lab,
+                   long n_wins, long bytes_per_win, uint8_t* out) {
+  if (n_wins <= 0) return 0;
+  long max_lab = bytes_per_win * 4;
+  std::vector<uint8_t> frags(n_wins * max_lab);
+  std::vector<long> offsets(n_wins + 1, 0);
+  long total = 0;
+  for (long w = 0; w < n_wins; ++w) {
+    const uint8_t* row = packed + w * bytes_per_win;
+    long m = n_lab[w];
+    if (m < 0) m = 0;
+    if (m > max_lab) m = max_lab;
+    // fragment = reversed emission order (see AssembleRead)
+    for (long i = 0; i < m; ++i) {
+      long j = m - 1 - i;
+      frags[total + i] = (row[j >> 2] >> ((j & 3) * 2)) & 3;
+    }
+    total += m;
+    offsets[w + 1] = total;
+  }
+  return AssembleFragments(frags.data(), offsets.data(), n_wins, out);
+}
+
 }  // extern "C"

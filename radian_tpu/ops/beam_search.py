@@ -523,6 +523,44 @@ def pack_labels(rev: jnp.ndarray) -> jnp.ndarray:
     return v[..., 0::2] | (v[..., 1::2] << 4)
 
 
+def pack_labels2(comp: jnp.ndarray) -> jnp.ndarray:
+    """2-bit-pack FRONT-COMPACTED labels along the last axis.
+
+    ``comp`` holds labels in {0..3} up to each row's emission count and
+    -1 padding after (the fused chunk path's compaction output); the
+    count travels separately (``n_lab``), so the padding needs no
+    sentinel and four labels share a byte — half the nibble packing's
+    bytes.  Last axis must be a multiple of 4.
+    """
+    if comp.shape[-1] % 4 != 0:
+        raise ValueError(
+            f"pack_labels2 needs a multiple-of-4 last axis, got "
+            f"{comp.shape}"
+        )
+    v = jnp.maximum(comp, 0).astype(jnp.uint8)
+    return (v[..., 0::4] | (v[..., 1::4] << 2) | (v[..., 2::4] << 4)
+            | (v[..., 3::4] << 6))
+
+
+def unpack_labels2(packed: np.ndarray, n_lab: np.ndarray) -> np.ndarray:
+    """Host inverse of :func:`pack_labels2` → int8 labels with -1 pads.
+
+    ``n_lab``: per-row emission counts (broadcast against
+    ``packed.shape[:-1]``); positions ≥ count are restored to -1.
+    """
+    packed = np.asarray(packed)
+    m = packed.shape[-1]
+    out = np.empty((*packed.shape[:-1], m * 4), np.int8)
+    out[..., 0::4] = (packed & 3).astype(np.int8)
+    out[..., 1::4] = ((packed >> 2) & 3).astype(np.int8)
+    out[..., 2::4] = ((packed >> 4) & 3).astype(np.int8)
+    out[..., 3::4] = ((packed >> 6) & 3).astype(np.int8)
+    idx = np.arange(m * 4)
+    pad = idx >= np.asarray(n_lab)[..., None]
+    out[pad] = -1
+    return out
+
+
 def unpack_labels(packed: np.ndarray) -> np.ndarray:
     """Host-side inverse of :func:`pack_labels` → int8 labels."""
     packed = np.asarray(packed)

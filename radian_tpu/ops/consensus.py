@@ -64,6 +64,14 @@ def _native_matcher():
                     ctypes.c_long,
                     ctypes.c_char_p,
                 ]
+                lib.AssembleRead2.restype = ctypes.c_long
+                lib.AssembleRead2.argtypes = [
+                    np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    ctypes.c_long,
+                    ctypes.c_long,
+                    ctypes.c_char_p,
+                ]
                 _seqmatch_lib = lib
             except Exception:
                 _seqmatch_lib = False
@@ -173,6 +181,26 @@ def assemble_read_packed(packed_rows: np.ndarray) -> str | None:
     cap = n_wins * bpw * 2 + bpw * 2 + 1
     out = ctypes.create_string_buffer(cap)
     n = lib.AssembleRead(rows, n_wins, bpw, out)
+    return _I2B[np.frombuffer(out.raw[:n], np.uint8)].tobytes().decode()
+
+
+def assemble_read_packed2(packed_rows: np.ndarray,
+                          n_lab: np.ndarray) -> str | None:
+    """Consensus from 2-bit-packed label rows + per-window counts.
+
+    ``packed_rows``: ``[n_wins, bytes_per_win]`` uint8 (four labels per
+    byte, ``pack_labels2``); ``n_lab``: ``[n_wins]`` emission counts.
+    One C++ call per read; None when the native library is unavailable.
+    """
+    lib = _native_matcher()
+    if lib is None or os.environ.get("RADIAN_NATIVE_CONSENSUS", "1") == "0":
+        return None
+    rows = np.ascontiguousarray(packed_rows, np.uint8)
+    counts = np.ascontiguousarray(n_lab, np.int32)
+    n_wins, bpw = rows.shape
+    cap = int(counts.clip(0, bpw * 4).sum()) + bpw * 4 + 1
+    out = ctypes.create_string_buffer(cap)
+    n = lib.AssembleRead2(rows, counts, n_wins, bpw, out)
     return _I2B[np.frombuffer(out.raw[:n], np.uint8)].tobytes().decode()
 
 

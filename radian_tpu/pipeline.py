@@ -39,8 +39,10 @@ from radian_tpu.ops.beam_search import (
     beam_search_batch,
     labels_to_seq,
     pack_labels,
+    pack_labels2,
     rows_to_seqs,
     unpack_labels,
+    unpack_labels2,
 )
 from radian_tpu.ops.consensus import assemble_fragments
 from radian_tpu.ops.preprocess import (
@@ -378,8 +380,8 @@ def _chunk_fused(params, signals, lengths, *, model: SigToSeq,
     window, step = o.chunk_len, o.step_size
     n, sig_len = signals.shape
     # a window cannot emit more than its timestep count; clamp the
-    # compaction width (keep it even for nibble packing)
-    max_lab = min(max_lab, window - window % 2)
+    # compaction width (multiple of 4 for the 2-bit packing)
+    max_lab = min(max_lab - max_lab % 4, window - window % 4)
     # 'fullprobs' (head == 0): corrected mode — windows take their probs
     # straight from the full-read pass (true left context, no
     # zero-history fix-up forward)
@@ -465,7 +467,7 @@ def _chunk_fused(params, signals, lengths, *, model: SigToSeq,
         skey = jax.lax.sort(key, dimension=1)[:, :max_lab]
         comp = jnp.where(skey < 2 ** 30, skey % 8, -1)
         return None, (
-            pack_labels(comp).reshape(n, slab, max_lab // 2),
+            pack_labels2(comp).reshape(n, slab, max_lab // 4),
             n_lab.reshape(n, slab).astype(jnp.int32),
         )
 
@@ -860,17 +862,29 @@ class Basecaller:
                     "BasecallOptions.chunk_max_lab"
                 )
         def stitch_one(j):
-            if o.consensus == "reference" and n_lab is not None:
-                # fused path + native stitcher: fragments + consensus in
-                # one C++ call from the packed nibbles (GIL released
-                # during the call, so the thread pool below really
-                # parallelises)
-                from radian_tpu.ops.consensus import assemble_read_packed
+            w = int(n_wins[j])
+            if n_lab is None:
+                # materialised 'windows' path: nibble-packed scattered
+                # labels over the full window T
+                frags = rows_to_seqs(unpack_labels(packed[j, :w]))
+            else:
+                if o.consensus == "reference":
+                    # fused path + native stitcher: fragments + consensus
+                    # in one C++ call from the 2-bit-packed rows (GIL
+                    # released during the call, so the thread pool below
+                    # really parallelises)
+                    from radian_tpu.ops.consensus import (
+                        assemble_read_packed2,
+                    )
 
-                seq = assemble_read_packed(packed[j, : int(n_wins[j])])
-                if seq is not None:
-                    return seq[::-1]
-            frags = rows_to_seqs(unpack_labels(packed[j, : int(n_wins[j])]))
+                    seq = assemble_read_packed2(
+                        packed[j, :w], n_lab[j, :w]
+                    )
+                    if seq is not None:
+                        return seq[::-1]
+                frags = rows_to_seqs(
+                    unpack_labels2(packed[j, :w], n_lab[j, :w])
+                )
             if o.consensus == "device":
                 from radian_tpu.ops.consensus_device import (
                     assemble_fragments_device,

@@ -61,7 +61,7 @@ def main():
     from radian_tpu.config import default_config
     from radian_tpu.eval.align import read_identity
     from radian_tpu.models.checkpoint import load_params_npz
-    from radian_tpu.ops.beam_search import rows_to_seqs, unpack_labels
+    from radian_tpu.ops.beam_search import rows_to_seqs, unpack_labels2
     from radian_tpu.ops.consensus import (
         consensus_sequence,
         longest_block,
@@ -119,6 +119,7 @@ def main():
         max_windows=max_windows_for(bucket, window, step),
     )
     packed = np.asarray(packed)
+    n_lab = np.asarray(n_lab)
     n_wins = np.asarray(n_wins)
 
     def to_str(labs):
@@ -130,7 +131,7 @@ def main():
         sig, labels, dwells = reads[j]
         truth = to_str(labels)
         w_count = int(n_wins[j])
-        frags = rows_to_seqs(unpack_labels(packed[j, :w_count]))
+        frags = rows_to_seqs(unpack_labels2(packed[j, :w_count], n_lab[j, :w_count]))
         # sample→base map: base b covers samples [starts[b], starts[b+1])
         seg_ends = np.cumsum(dwells)
         seg_starts = np.concatenate([[0], seg_ends[:-1]])

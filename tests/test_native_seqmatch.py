@@ -170,3 +170,32 @@ def test_assemble_read_packed_fuzz(native, rng):
         assert got is not None
         frags = rows_to_seqs(rows)
         assert got == _python_consensus(frags), (trial, rows)
+
+
+def test_assemble_read_packed2_fuzz(native, rng):
+    """2-bit-packed AssembleRead2 == python consensus; also round-trips
+    pack_labels2/unpack_labels2."""
+    import jax.numpy as jnp
+
+    from radian_tpu.ops.beam_search import (
+        pack_labels2,
+        rows_to_seqs,
+        unpack_labels2,
+    )
+    from radian_tpu.ops.consensus import assemble_read_packed2
+
+    for trial in range(60):
+        n_wins = int(rng.integers(1, 12))
+        max_lab = 4 * int(rng.integers(1, 24))
+        rows = np.full((n_wins, max_lab), -1, np.int8)
+        counts = np.zeros(n_wins, np.int32)
+        for w in range(n_wins):
+            m = int(rng.integers(0, max_lab + 1))
+            rows[w, :m] = rng.integers(0, 4, m)
+            counts[w] = m
+        packed = np.asarray(pack_labels2(jnp.asarray(rows)))
+        back = unpack_labels2(packed, counts)
+        assert np.array_equal(back, rows), trial
+        got = assemble_read_packed2(packed, counts)
+        assert got is not None
+        assert got == _python_consensus(rows_to_seqs(rows)), (trial, rows)
