@@ -286,6 +286,24 @@ def _lm_kwargs(lm_t1, lm_t2, lm_packed: bool) -> dict:
     return {"lm_probs": lm_t1, "lm_ent": lm_t2}
 
 
+def _compact_pack2(rev: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Sort-compact scattered emissions to the front, then 2-bit pack.
+
+    One ``lax.sort`` with the label embedded in the key's low bits
+    (t·8+label keeps emission order; sentinel 2^30 for copy steps);
+    ``cap`` bounds the kept emissions (callers must verify ``n_lab <=
+    cap`` on the host — the pipeline raises on overflow).  Emission
+    ORDER is preserved, so rendering the compacted row gives the same
+    string as the scattered one.  Cuts the device→host label fetch 4×
+    vs nibble-packing the full row (T/8 vs T/2 bytes at cap=T/2).
+    """
+    t_io = jnp.arange(rev.shape[1], dtype=jnp.int32)[None, :]
+    key = jnp.where(rev >= 0, t_io * 8 + rev, jnp.int32(2 ** 30))
+    skey = jax.lax.sort(key, dimension=1)[:, :cap]
+    comp = jnp.where(skey < 2 ** 30, skey % 8, -1)
+    return pack_labels2(comp)
+
+
 def _decode_assembled(
     mats, t_reads, lm_t1, lm_t2,
     *, opts: BasecallOptions, lm_enabled: bool, lm_packed: bool = False,
@@ -308,7 +326,8 @@ def _decode_assembled(
             lm_enabled=lm_enabled,
             **_lm_kwargs(lm_t1, lm_t2, lm_packed),
         )
-    # nibble-pack: two labels per byte for the host fetch
+    # nibble-pack the full row: a T-wide lax.sort compaction costs more
+    # than the fetch it saves at global T (measured: 955 → 593 reads/s)
     return pack_labels(rev), n_lab
 
 
@@ -457,17 +476,8 @@ def _chunk_fused(params, signals, lengths, *, model: SigToSeq,
                 probs, lens.reshape(-1), beam_width=o.beam_width,
                 lm_enabled=False,
             )
-        # compact scattered emissions to the front: sort VALUES with the
-        # label embedded in the key's low bits (one lax.sort, no
-        # argsort+gather round trip — −0.8 ms/read measured).  Key =
-        # t·8 + label for emissions (ascending t keeps emission order),
-        # sentinel 2^30 for copy steps.
-        t_io = jnp.arange(rev.shape[1], dtype=jnp.int32)[None, :]
-        key = jnp.where(rev >= 0, t_io * 8 + rev, jnp.int32(2 ** 30))
-        skey = jax.lax.sort(key, dimension=1)[:, :max_lab]
-        comp = jnp.where(skey < 2 ** 30, skey % 8, -1)
         return None, (
-            pack_labels2(comp).reshape(n, slab, max_lab // 4),
+            _compact_pack2(rev, max_lab).reshape(n, slab, max_lab // 4),
             n_lab.reshape(n, slab).astype(jnp.int32),
         )
 
@@ -812,7 +822,7 @@ class Basecaller:
             rev, n_lab = self._decode_assembled(
                 mats, t_reads, self._lm_t1, self._lm_t2
             )
-            return ("global", idxs, real, mads, rev, None, None)
+            return ("global", idxs, real, mads, rev, None, n_lab)
 
         max_w = max_windows_for(bucket, o.chunk_len, o.step_size)
         if o.decode_type == "chunk" and self.use_chunk_fused:
@@ -830,7 +840,7 @@ class Basecaller:
                 probs, n_wins, pad_ends,
                 self._lm_t1, self._lm_t2, out_len=bucket,
             )
-            return ("global", idxs, real, mads, rev, None, None)
+            return ("global", idxs, real, mads, rev, None, n_lab)
         rev, n_lab = self._chunk_decode(probs, n_wins, pad_ends)
         return ("chunk", idxs, real, mads, rev, n_wins, None)
 
@@ -839,7 +849,7 @@ class Basecaller:
         mode, idxs, real, mads, rev, n_wins, n_lab = pending
         mads = np.asarray(mads)
         bad = ~np.isfinite(mads) | (mads == 0)
-        packed = np.asarray(rev)  # nibble-packed labels, uint8
+        packed = np.asarray(rev)  # packed labels, uint8
         if mode == "global":
             rev = unpack_labels(packed)
             for j, i in enumerate(idxs[:real]):
