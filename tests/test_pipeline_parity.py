@@ -314,3 +314,27 @@ def test_chunk_fullprobs_mode(shared_params, signals):
     assert bc.use_chunk_fused
     out = bc.basecall_signals(sigs)
     assert all(s and set(s) <= set("ACGT") for s in out)
+
+
+def test_lm_table_dtype_auto(rng):
+    """'auto' stores LM tables bf16 only when the forward is bf16;
+    explicit overrides win (the decoder promotes rows to f32 either
+    way — see the 955-reads/s round-4 measurement in NOTES)."""
+    import jax.numpy as jnp
+
+    lm = build_dense_tables(
+        random_kmer_model(rng, context_len=11, n_contexts=200_000,
+                          concentration=0.2), 11)
+    model = build_model()
+    params = init_params(model, jax.random.PRNGKey(0))
+
+    bc = Basecaller(params, lm=lm, options=BasecallOptions())
+    assert bc._lm_t1.dtype == jnp.float32  # f32 compute -> f32 tables
+
+    bc = Basecaller(params, lm=lm, compute_dtype=jnp.bfloat16,
+                    options=BasecallOptions())
+    assert bc._lm_t1.dtype == jnp.bfloat16
+
+    bc = Basecaller(params, lm=lm, compute_dtype=jnp.bfloat16,
+                    options=BasecallOptions(lm_table_dtype="float32"))
+    assert bc._lm_t1.dtype == jnp.float32
