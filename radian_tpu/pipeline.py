@@ -822,7 +822,8 @@ class Basecaller:
             rev, n_lab = self._decode_assembled(
                 mats, t_reads, self._lm_t1, self._lm_t2
             )
-            return ("global", idxs, real, mads, rev, None, n_lab)
+            return self._start_host_copies(
+                ("global", idxs, real, mads, rev, None, n_lab))
 
         max_w = max_windows_for(bucket, o.chunk_len, o.step_size)
         if o.decode_type == "chunk" and self.use_chunk_fused:
@@ -830,7 +831,8 @@ class Basecaller:
                 self.params, jnp.asarray(padded), jnp.asarray(lengths),
                 max_windows=max_w,
             )
-            return ("chunk", idxs, real, mads, rev, n_wins, n_lab)
+            return self._start_host_copies(
+                ("chunk", idxs, real, mads, rev, n_wins, n_lab))
         probs, n_wins, pad_ends, mads = self._prep(
             self.params, jnp.asarray(padded), jnp.asarray(lengths),
             max_windows=max_w,
@@ -840,9 +842,26 @@ class Basecaller:
                 probs, n_wins, pad_ends,
                 self._lm_t1, self._lm_t2, out_len=bucket,
             )
-            return ("global", idxs, real, mads, rev, None, n_lab)
+            return self._start_host_copies(
+                ("global", idxs, real, mads, rev, None, n_lab))
         rev, n_lab = self._chunk_decode(probs, n_wins, pad_ends)
-        return ("chunk", idxs, real, mads, rev, n_wins, None)
+        return self._start_host_copies(
+            ("chunk", idxs, real, mads, rev, n_wins, None))
+
+    @staticmethod
+    def _start_host_copies(record):
+        """Kick off async device→host copies for a dispatch record's
+        outputs: the transfer streams while the NEXT batch computes, so
+        ``_collect_batch``'s ``np.asarray`` finds the bytes already on
+        the host (the label fetch is a visible slice of chunk-mode
+        runtime over a remote-device link)."""
+        for a in record:
+            if hasattr(a, "copy_to_host_async"):
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass  # backend without async host copies
+        return record
 
     def _collect_batch(self, pending, results):
         o = self.options
