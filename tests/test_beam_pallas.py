@@ -66,3 +66,20 @@ def test_kernel_multichunk(rng):
     assert _decode_strings(np.asarray(rev_k), n) == _decode_strings(
         np.asarray(rev_s), n
     )
+
+
+def test_kernel_beam_width_8(rng):
+    """Full sublane occupancy (beam_width == WSUB == 8): the kernel's
+    selection/merge logic at its boundary matches the scan decoder."""
+    n, t = 4, 192
+    mats = rng.dirichlet(np.full(5, 0.6), size=(n, t)).astype(np.float32)
+    lengths = np.asarray([t, t - 1, 64, 2], np.int32)
+    rev_k, nlab_k, _ = beam_search_pallas(
+        mats, lengths, beam_width=8, interpret=True, unroll=1
+    )
+    rev_s, nlab_s, _ = beam_search_batch(
+        mats, lengths, beam_width=8, lm_enabled=False
+    )
+    assert _decode_strings(np.asarray(rev_k), n) == \
+        _decode_strings(np.asarray(rev_s), n)
+    np.testing.assert_array_equal(np.asarray(nlab_k), np.asarray(nlab_s))
