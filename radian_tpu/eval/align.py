@@ -173,11 +173,15 @@ def random_identity_baseline(ref: str, call_len: int, rng=None) -> float:
     return read_identity(ref, call)["accuracy"]
 
 
-def evaluate_fasta(fasta_path, ref_tsv_path, out_tsv_path=None) -> dict:
+def evaluate_fasta(fasta_path, ref_tsv_path, out_tsv_path=None, *,
+                   with_baseline: bool = False) -> dict:
     """Evaluate a fasta against a ``read_id\\ttranscript\\tseq`` TSV
-    (reference align.py:59-109); returns median/mean summary, including
-    a ``random_baseline`` column (what a random same-length call would
-    score — the interpretability floor for the accuracy numbers)."""
+    (reference align.py:59-109); returns median/mean summary.
+
+    ``with_baseline=True`` adds a ``random_baseline`` column (what a
+    random same-length call would score — the interpretability floor for
+    the accuracy numbers) at the cost of a second Gotoh alignment per
+    read, so it is opt-in."""
     from radian_tpu.io.fasta import read_fasta
 
     refs = {}
@@ -199,9 +203,10 @@ def evaluate_fasta(fasta_path, ref_tsv_path, out_tsv_path=None) -> dict:
             continue
         st = read_identity(refs[rid], seq)
         rows.append(st)
-        baselines.append(
-            random_identity_baseline(refs[rid], len(seq), rng)
-        )
+        if with_baseline:
+            baselines.append(
+                random_identity_baseline(refs[rid], len(seq), rng)
+            )
         if out:
             out.write(
                 f"{rid}\t{st['n_match']}\t{st['n_ins']}\t{st['n_del']}\t"
@@ -217,10 +222,11 @@ def evaluate_fasta(fasta_path, ref_tsv_path, out_tsv_path=None) -> dict:
         summary[key] = {
             "median": float(np.median(vals)), "mean": float(np.mean(vals))
         }
-    summary["random_baseline"] = {
-        "median": float(np.median(baselines)),
-        "mean": float(np.mean(baselines)),
-    }
+    if baselines:
+        summary["random_baseline"] = {
+            "median": float(np.median(baselines)),
+            "mean": float(np.mean(baselines)),
+        }
     summary["n_reads"] = len(rows)
     return summary
 
@@ -233,13 +239,16 @@ def main(argv=None):
     args = argv if argv is not None else sys.argv[1:]
     fasta, ref = args[0], args[1]
     out = fasta.replace(".fasta", ".tsv")
-    summary = evaluate_fasta(fasta, ref, out)
+    summary = evaluate_fasta(fasta, ref, out,
+                             with_baseline="--baseline" in args)
     for label, key in (
         ("Accuracy", "accuracy"), ("Insertions", "p_ins"),
         ("Deletions", "p_del"), ("Substitutions", "p_sub"),
         ("Total error", "p_err"),
         ("Random-call baseline", "random_baseline"),
     ):
+        if key not in summary:
+            continue
         s = summary[key]
         print(f"{label}\tMEDIAN: {s['median']:.2f}\tMEAN: {s['mean']:.2f}")
 

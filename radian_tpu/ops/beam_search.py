@@ -69,8 +69,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# measurement-only: see the gather site in _step (scripts/exp_gate_clamp)
+# measurement-only: see the gather site in _step (scripts/exp_gate_clamp).
+# Changes decode RESULTS process-wide; never enable in production — the
+# loud warning below makes an accidentally-inherited env var visible.
 _GATE_CLAMP_PROBE = os.environ.get("RADIAN_GATE_CLAMP_PROBE") == "1"
+if _GATE_CLAMP_PROBE:
+    import warnings
+
+    warnings.warn(
+        "RADIAN_GATE_CLAMP_PROBE=1: beam-search LM gathers are clamped "
+        "for traffic measurement — decode results are WRONG. Unset the "
+        "env var for any real run.",
+        RuntimeWarning,
+        stacklevel=2,
+    )
 
 N_BASES = 4
 BLANK = 4

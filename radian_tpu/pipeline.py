@@ -54,6 +54,10 @@ from radian_tpu.ops.preprocess import (
 )
 
 
+# Widest beam the Pallas kernel's sublane tile holds (== beam_pallas.WSUB;
+# kept as a literal so CPU-only hosts never import the pallas module).
+PALLAS_MAX_BEAM = 8
+
 # Shared host thread pool for the chunk-mode stitch (the native consensus
 # call releases the GIL, so threads genuinely parallelise it).
 _STITCH_POOL = None
@@ -596,8 +600,12 @@ class Basecaller:
             use_pallas = True
         elif o.decode_backend == "xla":
             use_pallas = False
-        else:  # auto: kernel path needs a real TPU backend
-            use_pallas = jax.default_backend() == "tpu"
+        else:
+            # auto: kernel path needs a real TPU backend AND a beam that
+            # fits the kernel's sublane tile (WSUB=8); wider beams fall
+            # back to the XLA scan, which handles any width
+            use_pallas = (jax.default_backend() == "tpu"
+                          and o.beam_width <= PALLAS_MAX_BEAM)
         self.use_pallas = use_pallas
         self._prep = self._device_fn(
             functools.partial(_prep_and_model, model=self.model, opts=o),
@@ -859,8 +867,11 @@ class Basecaller:
             if hasattr(a, "copy_to_host_async"):
                 try:
                     a.copy_to_host_async()
-                except Exception:
+                except (AttributeError, NotImplementedError):
                     pass  # backend without async host copies
+                # anything else (real transfer/runtime errors) propagates
+                # here, at dispatch, with context — not at the later
+                # np.asarray
         return record
 
     def _collect_batch(self, pending, results):
@@ -877,18 +888,23 @@ class Basecaller:
             return
         n_wins = np.asarray(n_wins)
         if n_lab is not None:
-            # fused path: labels were compacted to chunk_max_lab slots on
-            # device — an overflowing window would have been truncated
-            # silently, so fail loudly instead
+            # fused path: labels were compacted on device to the
+            # EFFECTIVE cap (chunk_max_lab and chunk_len each rounded
+            # down to a multiple of 4 for the 2-bit packing — the same
+            # clamp _chunk_fused applies) — an overflowing window would
+            # have been truncated silently, so fail loudly instead
+            eff_cap = min(o.chunk_max_lab - o.chunk_max_lab % 4,
+                          o.chunk_len - o.chunk_len % 4)
             n_lab = np.asarray(n_lab)
             win_valid = np.arange(n_lab.shape[1])[None, :] < n_wins[:, None]
             row_ok = (np.arange(n_lab.shape[0]) < real) & ~bad
-            over = (n_lab > o.chunk_max_lab) & win_valid & row_ok[:, None]
+            over = (n_lab > eff_cap) & win_valid & row_ok[:, None]
             if over.any():
                 raise RuntimeError(
                     f"chunk window emitted {int(n_lab[over].max())} labels "
-                    f"> chunk_max_lab {o.chunk_max_lab}; raise "
-                    "BasecallOptions.chunk_max_lab"
+                    f"> the effective compaction cap {eff_cap} "
+                    f"(chunk_max_lab {o.chunk_max_lab} rounded to a "
+                    "multiple of 4); raise BasecallOptions.chunk_max_lab"
                 )
         def stitch_one(j):
             w = int(n_wins[j])

@@ -83,3 +83,13 @@ def test_kernel_beam_width_8(rng):
     assert _decode_strings(np.asarray(rev_k), n) == \
         _decode_strings(np.asarray(rev_s), n)
     np.testing.assert_array_equal(np.asarray(nlab_k), np.asarray(nlab_s))
+
+
+def test_pallas_max_beam_matches_wsub():
+    """pipeline.PALLAS_MAX_BEAM is a literal copy of beam_pallas.WSUB
+    (kept separate so CPU hosts never import the pallas module) — keep
+    them in sync."""
+    from radian_tpu.ops import beam_pallas
+    from radian_tpu.pipeline import PALLAS_MAX_BEAM
+
+    assert PALLAS_MAX_BEAM == beam_pallas.WSUB

@@ -194,3 +194,17 @@ def test_sam_accuracy(tmp_path):
     tsv = (tmp_path / "aln.tsv").read_text()
     assert "r1\tENST1\t7\t0\t0\t1" in tsv
     assert "r5\tENST1\t7\t1\t1\t1" in tsv
+
+
+def test_evaluate_fasta_baseline_optin(tmp_path):
+    """random_baseline doubles eval cost, so it is opt-in (ADVICE r4);
+    an empty match set returns {} without touching np.median."""
+    (tmp_path / "out.fasta").write_text(">r1\nACGTACGTAA\n")
+    (tmp_path / "refs.tsv").write_text("read\ttxt\tseq\nr1\tt1\tACGTACGTAA\n")
+    plain = evaluate_fasta(tmp_path / "out.fasta", tmp_path / "refs.tsv")
+    assert "random_baseline" not in plain
+    with_bl = evaluate_fasta(tmp_path / "out.fasta", tmp_path / "refs.tsv",
+                             with_baseline=True)
+    assert 0.0 <= with_bl["random_baseline"]["median"] <= 100.0
+    (tmp_path / "refs2.tsv").write_text("read\ttxt\tseq\nzz\tt1\tACGT\n")
+    assert evaluate_fasta(tmp_path / "out.fasta", tmp_path / "refs2.tsv") == {}
