@@ -169,6 +169,31 @@ def main():
         out["device_consensus_exact_agreement_random_weights"] = (
             f"{agree}/{len(dev_seqs)}"
         )
+
+    # Per-round parity artifact (VERDICT r4 task 1): full-length 5-read
+    # fasta parity vs the reference pipeline, on CPU (the bit-identity
+    # regime), written to PARITY_r{N}.json.  ~25 s in a subprocess; skip
+    # with BENCH_SKIP_PARITY=1.
+    if os.environ.get("BENCH_SKIP_PARITY") != "1":
+        import subprocess
+
+        log("parity artifact (CPU subprocess)...")
+        try:
+            p = subprocess.run(
+                [sys.executable, "scripts/parity_artifact.py"],
+                capture_output=True, text=True, timeout=600,
+                cwd=Path(__file__).parent,
+            )
+            tail = (p.stdout.strip().splitlines() or [""])[-1]
+            log(f"parity: {tail} (rc={p.returncode})")
+            try:
+                out["parity"] = json.loads(tail)
+            except json.JSONDecodeError:
+                out["parity"] = {"error": tail or p.stderr[-200:]}
+        except Exception as e:  # parity must never sink the perf bench
+            log(f"parity artifact failed: {e}")
+            out["parity"] = {"error": str(e)}
+
     print(json.dumps(out))
 
 
