@@ -30,9 +30,14 @@ DECODE = os.environ.get("BENCH_DECODE", "global")
 
 # experiment knobs (defaults = the recorded configuration); the fused
 # chunk path streams window slabs (no [N, windows, 1024, 5] tensor), so
-# chunk mode runs the full 256 read batch too (round 3 was capped at 64)
-REPLICAS = int(os.environ.get("BENCH_REPLICAS", 256))  # 5 reads x 256
-READ_BATCH = int(os.environ.get("BENCH_READ_BATCH", 256))
+# chunk mode runs the full read batch too (round 3 was capped at 64).
+# read_batch 512 became the global-mode sweet spot once async
+# device->host copies landed (round 5: 512 -> 1116 reads/s vs 256 ->
+# 903, 768 -> 974; the round-4 "N=512 regresses" probe predated the
+# async-copy fix — scripts/exp_overlap.py)
+_DEFAULT_N = 512 if DECODE == "global" else 256  # chunk recorded at 256
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", _DEFAULT_N))
+READ_BATCH = int(os.environ.get("BENCH_READ_BATCH", _DEFAULT_N))
 QUANTUM = int(os.environ.get("BENCH_QUANTUM", 1024))
 
 

@@ -99,16 +99,16 @@ def main():
         mats, t_reads, _ = prep_out
 
         def run_dec():
-            out = bc._decode_assembled(mats, t_reads, bc._lm_probs,
-                                       bc._lm_ent)
+            out = bc._decode_assembled(mats, t_reads, bc._lm_t1,
+                                       bc._lm_t2)
             np.asarray(sum1(out[1]))
             return out
     else:
         probs, n_wins, pad_ends, mads = prep_out
 
         def run_dec():
-            out = bc._global_decode(probs, n_wins, pad_ends, bc._lm_probs,
-                                    bc._lm_ent, out_len=bucket)
+            out = bc._global_decode(probs, n_wins, pad_ends, bc._lm_t1,
+                                    bc._lm_t2, out_len=bucket)
             np.asarray(sum1(out[1]))
             return out
 
