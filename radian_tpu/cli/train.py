@@ -40,6 +40,15 @@ def build_parser() -> argparse.ArgumentParser:
                    default="float32",
                    help="bfloat16 runs conv/dense math on the MXU native "
                         "dtype (params/optimizer/loss stay f32)")
+    p.add_argument("--epoch-scan", action="store_true",
+                   help="preload the batch pool to the device and run "
+                        "each epoch as one jitted lax.scan dispatch (11x "
+                        "end-to-end over a remote-device link; pool must "
+                        "fit device memory)")
+    p.add_argument("--eval-edit-distance", action="store_true",
+                   help="greedy-decode edit distance on the val pool at "
+                        "each val epoch (the reference's "
+                        "EditDistanceCallback, working)")
     return p
 
 
@@ -104,6 +113,8 @@ def main(argv=None) -> None:
         val_factory if val_files else None,
         n_epochs=args.n_epochs,
         initial_epoch=initial_epoch,
+        epoch_scan=args.epoch_scan,
+        eval_edit_distance=args.eval_edit_distance,
     )
     print(f"final train loss: {history['train_loss'][-1]:.4f}")
     if history["val_loss"]:

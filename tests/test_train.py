@@ -251,3 +251,73 @@ def test_training_bf16_compute(synth_batches):
     assert last < first * 0.8, f"bf16 loss did not decrease: {first} -> {last}"
     for leaf in jax.tree_util.tree_leaves(trainer.state.params):
         assert leaf.dtype == np.float32
+
+
+def test_fit_epoch_scan_matches_per_step(synth_batches, tmp_path):
+    """fit(epoch_scan=True) runs the SAME step program as the per-step
+    path — per-epoch losses must match to float tolerance (VERDICT r4
+    task 5), and val eval / best-on-val checkpointing / edit-distance
+    history must all be populated."""
+    cfg = _tiny_config()
+    batches = synth_batches[:6]
+    val = synth_batches[6:8]
+
+    def factory():
+        return list(batches)
+
+    def val_factory():
+        return list(val)
+
+    hists = {}
+    for scan in (False, True):
+        tr = Trainer(
+            cfg,
+            TrainConfig(checkpoint_dir=str(tmp_path / f"ck{scan}"),
+                        log_dir=None, seed=0),
+        )
+        hists[scan] = tr.fit(
+            factory, val_factory, n_epochs=2, val_freq=1,
+            epoch_scan=scan, eval_edit_distance=True,
+        )
+        assert tr.best_epoch is not None  # best-on-val ckpt saved
+
+    a, b = hists[False], hists[True]
+    np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(a["val_loss"], b["val_loss"],
+                               rtol=1e-5, atol=1e-6)
+    assert len(a["val_edit_distance"]) == 2
+    np.testing.assert_allclose(a["val_edit_distance"],
+                               b["val_edit_distance"], rtol=1e-5)
+
+
+def test_fit_epoch_scan_short_final_batch(synth_batches, tmp_path):
+    """preload_batches pads a short final batch with zero-weight filler
+    rows; the padded pool trains to the same losses as the per-step
+    path over the same ragged batches."""
+    cfg = _tiny_config()
+    short = {k: v[:3] for k, v in synth_batches[2].items()}
+    batches = [synth_batches[0], synth_batches[1], short]
+
+    hists = {}
+    for scan in (False, True):
+        tr = Trainer(cfg, TrainConfig(checkpoint_dir=None, seed=0))
+        hists[scan] = tr.fit(lambda: list(batches), None, n_epochs=1,
+                             val_freq=1, epoch_scan=scan)
+    np.testing.assert_allclose(hists[False]["train_loss"],
+                               hists[True]["train_loss"], rtol=1e-5)
+
+
+def test_fit_epoch_scan_cycles_pool(synth_batches):
+    """With steps_per_epoch set, scan epochs cycle through the pool via
+    the start offset (epoch e starts at (e*steps) % pool)."""
+    cfg = _tiny_config()
+    tr = Trainer(
+        cfg,
+        TrainConfig(checkpoint_dir=None, steps_per_epoch=4, seed=0),
+    )
+    h = tr.fit(lambda: list(synth_batches[:6]), None, n_epochs=3,
+               epoch_scan=True)
+    assert len(h["train_loss"]) == 3
+    assert int(tr.state.step) == 12  # 3 epochs x 4 steps
+    assert all(np.isfinite(h["train_loss"]))
