@@ -161,6 +161,17 @@ class BasecallOptions:
     # stays at chunk_len/2; trained weights emit ~1 base per ~12+
     # samples — tune down (e.g. 128) for less device→host traffic.
     chunk_max_lab: int = 512
+    # tiled center-cropped decoding for the corrected 'fullprobs' mode:
+    # each window keeps only its center emission span [off, off+step)
+    # (off ~ (window-step)/2 >= RF-1), so kept spans PARTITION the read
+    # and the stitch is plain concatenation — no consensus-displacement
+    # estimation (which is ambiguous on repetitive sequence) and no CTC
+    # decode boundary artifacts (every kept emission has >= RF-1 decode
+    # warm-up left and >= window-off-step margin right; in fullprobs
+    # mode all windows decode the same full-read probs, so warm decodes
+    # agree).  First/last windows keep their read edges.  Ignored by
+    # the parity modes ('fused'/'windows').
+    chunk_crop: bool = True
     # packed-LM layout cut in bytes (None = module PACKED_LM_MAX_BYTES,
     # measured batch-size-robust; see scripts/exp_packed_crossover.py)
     packed_lm_max_bytes: int | None = None
@@ -369,7 +380,8 @@ def _assemble_and_decode(
 
 def _chunk_fused(params, signals, lengths, *, model: SigToSeq,
                  opts: BasecallOptions, max_windows: int, head: int,
-                 slab: int, max_lab: int, use_pallas: bool):
+                 slab: int, max_lab: int, use_pallas: bool,
+                 crop_off: int = 0):
     """Fused streaming chunk-mode program (reference basecall.py:111-123
     semantics, TPU-first execution).
 
@@ -480,6 +492,31 @@ def _chunk_fused(params, signals, lengths, *, model: SigToSeq,
                 probs, lens.reshape(-1), beam_width=o.beam_width,
                 lm_enabled=False,
             )
+        if crop_off > 0:
+            # center-cropped TILED decoding (corrected 'fullprobs' mode
+            # only): window w keeps emissions in its center span
+            # [off, off+step) — in absolute coordinates the spans tile
+            # the read EXACTLY ([128w+off, 128w+off+step) are
+            # contiguous), so the host stitch is plain concatenation
+            # with no consensus-displacement ambiguity.  Every kept
+            # emission has >= off (>= RF-1) decode warm-up on its left
+            # and >= window-off-step margin to the right truncation
+            # edge; in fullprobs mode all windows decode the SAME
+            # full-read probs, so decodes agree wherever both are warm.
+            # First window keeps its left edge, last its right edge —
+            # those are the read's edges.  rev index k is the REVERSE
+            # scan step, so its timestep is window-1-k.
+            t_true = (window - 1
+                      - jnp.arange(window, dtype=jnp.int32))[None, :]
+            is_first = (w_idx == 0)[None, :]  # [1, slab]
+            is_last = w_idx[None, :] == n_wins[:, None] - 1  # [N, slab]
+            lo = jnp.where(is_first, 0, crop_off)  # [1|N, slab]
+            hi = jnp.where(is_last, lens, crop_off + step)  # [N, slab]
+            lo = jnp.broadcast_to(lo, (n, slab)).reshape(-1, 1)
+            hi = hi.reshape(-1, 1)
+            keep = (t_true >= lo) & (t_true < hi)
+            rev = jnp.where(keep, rev, -1)
+            n_lab = (rev >= 0).sum(axis=1)
         return None, (
             _compact_pack2(rev, max_lab).reshape(n, slab, max_lab // 4),
             n_lab.reshape(n, slab).astype(jnp.int32),
@@ -684,11 +721,21 @@ class Basecaller:
                 f"chunk_prep={o.chunk_prep!r} needs head {chunk_head} < "
                 f"chunk_len {o.chunk_len} and an even chunk_max_lab"
             )
+        # tiled center-crop offset for the corrected 'fullprobs' mode:
+        # balance decode warm-up (left) against truncation margin
+        # (right), floored at the receptive field; requires the span to
+        # fit the window
+        crop_off = max(rf - 1, (o.chunk_len - o.step_size) // 2)
+        self.chunk_tiled = (
+            o.chunk_prep == "fullprobs" and o.chunk_crop
+            and crop_off + o.step_size <= o.chunk_len
+        )
         self._chunk_fused_prog = self._device_fn(
             functools.partial(
                 _chunk_fused, model=self.model, opts=o, head=chunk_head,
                 slab=o.chunk_slab, max_lab=o.chunk_max_lab,
                 use_pallas=use_pallas,
+                crop_off=crop_off if self.chunk_tiled else 0,
             ),
             in_specs=(P(), P("data"), P("data")),
             static_argnames=("max_windows",),
@@ -913,6 +960,14 @@ class Basecaller:
                 # labels over the full window T
                 frags = rows_to_seqs(unpack_labels(packed[j, :w]))
             else:
+                if self.chunk_tiled:
+                    # tiled center-crop: kept spans partition the read,
+                    # so the stitch is plain concatenation (no
+                    # consensus-displacement estimation)
+                    frags = rows_to_seqs(
+                        unpack_labels2(packed[j, :w], n_lab[j, :w])
+                    )
+                    return "".join(frags)[::-1]
                 if o.consensus == "reference":
                     # fused path + native stitcher: fragments + consensus
                     # in one C++ call from the 2-bit-packed rows (GIL

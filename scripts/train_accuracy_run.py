@@ -246,19 +246,26 @@ def main():
         return float((ents[valid] > s_thr).mean())
 
     configs = [
-        ("f32+LM", "float32", True, None, None),
-        ("bf16+LM", "bfloat16", True, None, None),
-        ("bf16 no-LM", "bfloat16", False, None, None),
+        ("f32+LM", "float32", True, None, None, {}),
+        ("bf16+LM", "bfloat16", True, None, None, {}),
+        ("bf16 no-LM", "bfloat16", False, None, None, {}),
     ]
     if args.threshold_sweep:
         configs += [
-            ("bf16+LM s_thr=0.3", "bfloat16", True, None, 0.3),
-            ("bf16+LM s_thr=0.7", "bfloat16", True, None, 0.7),
+            ("bf16+LM s_thr=0.3", "bfloat16", True, None, 0.3, {}),
+            ("bf16+LM s_thr=0.7", "bfloat16", True, None, 0.7, {}),
         ]
     if args.chunk:
         configs += [
-            ("bf16 chunk ref-cons", "bfloat16", False, "reference", None),
-            ("bf16 chunk dev-cons", "bfloat16", False, "device", None),
+            ("bf16 chunk ref-cons", "bfloat16", False, "reference", None,
+             {}),
+            ("bf16 chunk dev-cons", "bfloat16", False, "device", None, {}),
+            # corrected fullprobs mode, without and with center-cropped
+            # decoding (VERDICT r4 task 3)
+            ("bf16 chunk fullprobs", "bfloat16", False, "reference", None,
+             {"chunk_prep": "fullprobs", "chunk_crop": False}),
+            ("bf16 chunk fullprobs+crop", "bfloat16", False, "reference",
+             None, {"chunk_prep": "fullprobs", "chunk_crop": True}),
         ]
     results = {}
     seqs_by_tag = {}
@@ -271,7 +278,7 @@ def main():
     print(f"random-call identity baseline (median): "
           f"{results['random_baseline_median']:.2f}%", flush=True)
     gate_rate_done = False
-    for tag, dtype, use_lm, consensus, s_thr in configs:
+    for tag, dtype, use_lm, consensus, s_thr, extra in configs:
         opt_kw = dict(
             read_batch=min(args.eval_reads, 128 if consensus is None else 32),
             bucket_quantum=4096,
@@ -280,6 +287,7 @@ def main():
             opt_kw.update(sig_threshold=s_thr)
         if consensus is not None:
             opt_kw.update(decode_type="chunk", consensus=consensus)
+        opt_kw.update(extra)
         bc = Basecaller(
             params, cfg, lm=lm if use_lm else None,
             compute_dtype=dtype,

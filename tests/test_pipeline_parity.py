@@ -392,3 +392,48 @@ def test_chunk_overflow_uses_effective_cap(shared_params):
     )
     with pytest.raises(RuntimeError, match="effective"):
         bc._collect_batch(pending, {})
+
+
+def test_chunk_tiled_crop_matches_global(shared_params, signals):
+    """Tiled center-crop ('fullprobs' + chunk_crop): kept spans partition
+    the read and all windows decode the same full-read probs, so the
+    concatenated output closely tracks the global full-read decode even
+    with noisy random-weight probs (with trained weights the two match
+    in median identity — bench_data/trained/accuracy_chunk_crop.json).
+    A single-window read IS the global decode: exact equality."""
+    import difflib
+
+    sigs = [signals[0][:4000], signals[1][:2500], signals[0][:900]]
+    bc_g = Basecaller(
+        shared_params, options=BasecallOptions(read_batch=3,
+                                               bucket_quantum=1024)
+    )
+    bc_t = Basecaller(
+        shared_params,
+        options=BasecallOptions(
+            decode_type="chunk", chunk_prep="fullprobs", chunk_crop=True,
+            read_batch=3, bucket_quantum=1024,
+        ),
+    )
+    assert bc_t.chunk_tiled
+    glob = bc_g.basecall_signals(sigs)
+    tiled = bc_t.basecall_signals(sigs)
+    for g, t in zip(glob[:2], tiled[:2]):
+        sim = difflib.SequenceMatcher(None, g, t).ratio()
+        assert sim > 0.85, f"similarity {sim:.3f}"
+    assert tiled[2] == glob[2]  # single window == global decode
+
+
+def test_chunk_crop_off_keeps_consensus_path(shared_params, signals):
+    """chunk_crop=False falls back to the overlapped-fragments consensus
+    stitch (the previous fullprobs behavior)."""
+    bc = Basecaller(
+        shared_params,
+        options=BasecallOptions(
+            decode_type="chunk", chunk_prep="fullprobs",
+            chunk_crop=False, read_batch=1, bucket_quantum=1024,
+        ),
+    )
+    assert not bc.chunk_tiled
+    out = bc.basecall_signals([signals[0][:2000]])
+    assert out[0] and set(out[0]) <= set("ACGT")
