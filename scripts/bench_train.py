@@ -68,8 +68,19 @@ def main():
                 trainer.state, dev_batch)
         float(loss)
         dt = (time.perf_counter() - t0) / n_steps
+        # model-FLOP utilisation: the 6ND estimate (2 FLOP/param/
+        # timestep forward, 2x that backward) over v5e bf16 peak
+        # 197 TFLOP/s; CTC-loss scan FLOPs excluded, so true hardware
+        # utilisation is slightly higher than reported
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree.leaves(trainer.state.params))
+        flops = 6 * n_params * 1024 * bs
+        tflops = flops / dt / 1e12
+        peak = 197.0  # TPU v5e bf16 peak TFLOP/s
         print(f"bs={bs:5d} {dt*1e3:8.1f} ms/step (device-only)  "
-              f"{bs/dt:10.0f} windows/s", flush=True)
+              f"{bs/dt:10.0f} windows/s  "
+              f"{tflops:6.1f} TFLOP/s = {tflops/peak:5.1%} MFU",
+              flush=True)
 
         # epoch scan: device-resident pool, one dispatch per epoch —
         # the production training path over a remote-device link
