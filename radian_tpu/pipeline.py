@@ -172,6 +172,15 @@ class BasecallOptions:
     # agree).  First/last windows keep their read edges.  Ignored by
     # the parity modes ('fused'/'windows').
     chunk_crop: bool = True
+    # decode stride for the tiled crop: decode every K-th window with a
+    # K*step-wide kept span (same exact partition, ~K x less beam-search
+    # work).  Clamped down automatically to keep >= RF-1 warm-up and
+    # >= step right margin inside the window.  Measured (round 5): 1 ->
+    # 545, 2 -> 917, 4 -> 898 reads/s on the chunk bench; stride 2 keeps
+    # 640 samples of warm-up (seam-robust even on near-uniform
+    # random-weight probs, where stride 4's 384 shows seam divergence),
+    # so 2 is the default.
+    chunk_crop_stride: int = 2
     # packed-LM layout cut in bytes (None = module PACKED_LM_MAX_BYTES,
     # measured batch-size-robust; see scripts/exp_packed_crossover.py)
     packed_lm_max_bytes: int | None = None
@@ -381,7 +390,7 @@ def _assemble_and_decode(
 def _chunk_fused(params, signals, lengths, *, model: SigToSeq,
                  opts: BasecallOptions, max_windows: int, head: int,
                  slab: int, max_lab: int, use_pallas: bool,
-                 crop_off: int = 0):
+                 crop_off: int = 0, crop_stride: int = 1):
     """Fused streaming chunk-mode program (reference basecall.py:111-123
     semantics, TPU-first execution).
 
@@ -442,15 +451,24 @@ def _chunk_fused(params, signals, lengths, *, model: SigToSeq,
         # ran in bf16 — f32 compute keeps f32 probs (exact parity mode).
         probs_full = probs_full.astype(jnp.bfloat16)
 
-    n_slabs = -(-max_windows // slab)
+    # strided tiled decoding (crop mode): decode only every
+    # ``crop_stride``-th window plus the tail window — each decoded
+    # window keeps a ``stride*step``-wide center span, so the kept
+    # spans still partition the read while the beam-search work drops
+    # ``stride``x.  stride == 1 (all parity modes) reproduces the
+    # original every-window geometry exactly.
+    stride = crop_stride if crop_off > 0 else 1
+    n_dec = ((n_full + stride - 1) // stride + 1).astype(jnp.int32)
+    max_dec = -((max_windows - 1) // -stride) + 1
+    n_slabs = -(-max_dec // slab)
     w_iota = jnp.arange(slab, dtype=jnp.int32)
     head_iota = jnp.arange(head, dtype=jnp.int32)
     tail_iota = jnp.arange(head, window, dtype=jnp.int32)
 
     def slab_step(_, s):
-        w_idx = s * slab + w_iota  # [slab]
+        w_idx = s * slab + w_iota  # [slab] decoded-window indices
         starts = jnp.minimum(
-            w_idx[None, :] * step, tail_start[:, None]
+            w_idx[None, :] * (stride * step), tail_start[:, None]
         )  # [N, slab]
         # tails (or, in 'fullprobs' mode, whole windows) from the
         # full-read probs at absolute positions
@@ -477,10 +495,10 @@ def _chunk_fused(params, signals, lengths, *, model: SigToSeq,
                 [head_probs.astype(tail_probs.dtype), tail_probs], axis=2
             ).reshape(n * slab, window, -1).astype(jnp.float32)
         lens = jnp.where(
-            w_idx[None, :] == n_wins[:, None] - 1,
+            w_idx[None, :] == n_dec[:, None] - 1,
             window - pad_ends[:, None], window,
         )
-        lens = jnp.where(w_idx[None, :] < n_wins[:, None], lens, 0)
+        lens = jnp.where(w_idx[None, :] < n_dec[:, None], lens, 0)
         if use_pallas:
             from radian_tpu.ops.beam_pallas import beam_search_pallas
 
@@ -494,24 +512,31 @@ def _chunk_fused(params, signals, lengths, *, model: SigToSeq,
             )
         if crop_off > 0:
             # center-cropped TILED decoding (corrected 'fullprobs' mode
-            # only): window w keeps emissions in its center span
-            # [off, off+step) — in absolute coordinates the spans tile
-            # the read EXACTLY ([128w+off, 128w+off+step) are
-            # contiguous), so the host stitch is plain concatenation
-            # with no consensus-displacement ambiguity.  Every kept
-            # emission has >= off (>= RF-1) decode warm-up on its left
-            # and >= window-off-step margin to the right truncation
+            # only): decoded window d keeps emissions in its center
+            # span [off, off + stride*step) — in absolute coordinates
+            # consecutive spans are contiguous, so the kept spans
+            # PARTITION the read and the host stitch is plain
+            # concatenation (no consensus-displacement ambiguity).
+            # Every kept emission has >= off (>= RF-1) decode warm-up
+            # on its left and >= step margin to the right truncation
             # edge; in fullprobs mode all windows decode the SAME
             # full-read probs, so decodes agree wherever both are warm.
-            # First window keeps its left edge, last its right edge —
-            # those are the read's edges.  rev index k is the REVERSE
-            # scan step, so its timestep is window-1-k.
+            # First window keeps its left edge, last (tail) its right
+            # edge — those are the read's edges; the window BEFORE the
+            # tail clips its span at the tail span's absolute start
+            # (tail_start + off) so the partition stays exact.  rev
+            # index k is the REVERSE scan step, so its timestep is
+            # window-1-k.
             t_true = (window - 1
                       - jnp.arange(window, dtype=jnp.int32))[None, :]
             is_first = (w_idx == 0)[None, :]  # [1, slab]
-            is_last = w_idx[None, :] == n_wins[:, None] - 1  # [N, slab]
+            is_last = w_idx[None, :] == n_dec[:, None] - 1  # [N, slab]
             lo = jnp.where(is_first, 0, crop_off)  # [1|N, slab]
-            hi = jnp.where(is_last, lens, crop_off + step)  # [N, slab]
+            hi = jnp.where(
+                is_last, lens,
+                jnp.minimum(crop_off + stride * step,
+                            tail_start[:, None] + crop_off - starts),
+            )  # [N, slab]
             lo = jnp.broadcast_to(lo, (n, slab)).reshape(-1, 1)
             hi = hi.reshape(-1, 1)
             keep = (t_true >= lo) & (t_true < hi)
@@ -527,7 +552,9 @@ def _chunk_fused(params, signals, lengths, *, model: SigToSeq,
     )
     packed = jnp.moveaxis(packed, 0, 1).reshape(n, n_slabs * slab, -1)
     n_lab = jnp.moveaxis(n_lab, 0, 1).reshape(n, n_slabs * slab)
-    return packed, n_lab, n_wins, mads
+    # n_dec == n_wins when stride == 1 (every parity mode); the host
+    # stitch consumes however many windows were actually decoded
+    return packed, n_lab, n_dec, mads
 
 
 def _decode_windows(probs, n_wins, pad_ends, *, opts: BasecallOptions,
@@ -721,21 +748,29 @@ class Basecaller:
                 f"chunk_prep={o.chunk_prep!r} needs head {chunk_head} < "
                 f"chunk_len {o.chunk_len} and an even chunk_max_lab"
             )
-        # tiled center-crop offset for the corrected 'fullprobs' mode:
-        # balance decode warm-up (left) against truncation margin
-        # (right), floored at the receptive field; requires the span to
-        # fit the window
-        crop_off = max(rf - 1, (o.chunk_len - o.step_size) // 2)
-        self.chunk_tiled = (
-            o.chunk_prep == "fullprobs" and o.chunk_crop
-            and crop_off + o.step_size <= o.chunk_len
-        )
+        # tiled center-crop geometry for the corrected 'fullprobs' mode:
+        # pick the largest feasible decode stride <= chunk_crop_stride —
+        # each decoded window keeps a stride*step center span, needing
+        # >= RF-1 warm-up on the left and >= step truncation margin on
+        # the right, all inside the window
+        crop_off = crop_stride = None
+        if o.chunk_prep == "fullprobs" and o.chunk_crop:
+            for k in range(o.chunk_crop_stride, 0, -1):
+                # maximise decode warm-up: keep exactly one step of
+                # right truncation margin (a mistimed edge emission
+                # moves ~one dwell, far less than a step)
+                off_k = o.chunk_len - (k + 1) * o.step_size
+                if off_k >= rf - 1:
+                    crop_off, crop_stride = off_k, k
+                    break
+        self.chunk_tiled = crop_off is not None
         self._chunk_fused_prog = self._device_fn(
             functools.partial(
                 _chunk_fused, model=self.model, opts=o, head=chunk_head,
                 slab=o.chunk_slab, max_lab=o.chunk_max_lab,
                 use_pallas=use_pallas,
                 crop_off=crop_off if self.chunk_tiled else 0,
+                crop_stride=crop_stride if self.chunk_tiled else 1,
             ),
             in_specs=(P(), P("data"), P("data")),
             static_argnames=("max_windows",),

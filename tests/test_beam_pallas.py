@@ -16,6 +16,7 @@ def _decode_strings(rev, n):
 
 
 @pytest.mark.parametrize("peaked", [False, True])
+@pytest.mark.slow
 def test_kernel_matches_scan_decoder(rng, peaked):
     n, t = 4, 256
     alpha = np.full(5, 0.2 if peaked else 1.0)
@@ -37,6 +38,7 @@ def test_kernel_matches_scan_decoder(rng, peaked):
     )
 
 
+@pytest.mark.slow
 def test_kernel_matches_reference_oracle(rng):
     from tests import reference_oracle as oracle
 
@@ -55,6 +57,7 @@ def test_kernel_matches_reference_oracle(rng):
         assert got[i] == want
 
 
+@pytest.mark.slow
 def test_kernel_multichunk(rng):
     """T spanning multiple DMA chunks (CHUNK=256)."""
     n, t = 2, 600  # pads to 768 = 3 chunks
@@ -68,6 +71,7 @@ def test_kernel_multichunk(rng):
     )
 
 
+@pytest.mark.slow
 def test_kernel_beam_width_8(rng):
     """Full sublane occupancy (beam_width == WSUB == 8): the kernel's
     selection/merge logic at its boundary matches the scan decoder."""

@@ -73,6 +73,7 @@ def test_basecall_cli(tmp_path, rng):
     assert all(set(v) <= set("ACGT") for v in out.values())
 
 
+@pytest.mark.slow
 def test_basecall_cli_chunk_mode_device_consensus(tmp_path, rng):
     from radian_tpu.cli.basecall import main
     from radian_tpu.pipeline import BasecallOptions, load_basecaller
@@ -95,6 +96,7 @@ def test_basecall_cli_chunk_mode_device_consensus(tmp_path, rng):
     assert n == 1
 
 
+@pytest.mark.slow
 def test_train_cli(tmp_path, rng):
     from radian_tpu.cli.train import main
     from radian_tpu.io.tfrecord import write_shard

@@ -6,6 +6,10 @@ LM configurations.
 """
 
 import numpy as np
+import pytest
+
+# fuzz-heavy
+pytestmark = pytest.mark.slow
 
 from radian_tpu.lm import build_dense_tables, random_kmer_model
 from radian_tpu.ops.beam_native import beam_search_native, native_seq

@@ -1,6 +1,10 @@
 """Driver entry points compile and run on the 8-device CPU mesh."""
 
 import numpy as np
+import pytest
+
+# the driver runs entry/dryrun separately every round
+pytestmark = pytest.mark.slow
 
 
 def test_entry_compiles():

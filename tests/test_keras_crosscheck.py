@@ -10,6 +10,9 @@ residual wiring and head against an independent implementation.
 import numpy as np
 import pytest
 
+# keras-semantics crosscheck; the imported contract rarely changes
+pytestmark = pytest.mark.slow
+
 from radian_tpu.config import default_config
 from radian_tpu.models import build_model, init_params
 

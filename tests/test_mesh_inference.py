@@ -6,6 +6,9 @@ import jax
 import numpy as np
 import pytest
 
+# mesh execution also covered by the per-round dryrun
+pytestmark = pytest.mark.slow
+
 from radian_tpu.lm import build_dense_tables, random_kmer_model
 from radian_tpu.models import build_model, init_params
 from radian_tpu.parallel.mesh import make_mesh

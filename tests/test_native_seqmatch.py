@@ -172,6 +172,7 @@ def test_assemble_read_packed_fuzz(native, rng):
         assert got == _python_consensus(frags), (trial, rows)
 
 
+@pytest.mark.slow
 def test_assemble_read_packed2_fuzz(native, rng):
     """2-bit-packed AssembleRead2 == python consensus; also round-trips
     pack_labels2/unpack_labels2."""

@@ -118,6 +118,7 @@ def test_chunk_mode_parity(shared_params, signals):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_chunk_fused_matches_windows(shared_params, signals):
     """The fused streaming chunk program (one full-read forward +
     zero-history head fix-up + in-scan decode + label compaction) decodes
@@ -179,6 +180,7 @@ def test_directory_to_fasta(shared_params, signals, tmp_path, reads_fast5_path):
     assert all(set(v) <= set("ACGT") and v for v in out.values())
 
 
+@pytest.mark.slow
 def test_lm_layout_autopick(rng):
     """Basecaller picks packed tables only under the measured ~2 MB
     crossover (NOTES round 3): a small sparse LM packs, a 200k-context
@@ -208,6 +210,7 @@ def test_lm_layout_autopick(rng):
     assert not bc._lm_packed
 
 
+@pytest.mark.slow
 def test_global_parity_beam_width_8(shared_params, signals):
     """beam_width 8 == the Pallas kernel's WSUB boundary; exercises the
     selection/merge logic at full sublane occupancy (VERDICT r3 task 8)."""
@@ -223,6 +226,7 @@ def test_global_parity_beam_width_8(shared_params, signals):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_chunk_parity_beam_width_8(shared_params, signals):
     sigs = [signals[0][:1500]]
     expected = [
@@ -269,6 +273,7 @@ def test_global_parity_lm_ctx_edge(shared_params, signals, ctx_len):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_global_parity_lm_packed_and_dense(shared_params, signals,
                                            monkeypatch):
     """The packed-LM auto-pick is exercised e2e: the 3000-context LM
@@ -300,6 +305,7 @@ def test_global_parity_lm_packed_and_dense(shared_params, signals,
     assert bc_dense.basecall_signals(sigs) == expected
 
 
+@pytest.mark.slow
 def test_chunk_fullprobs_mode(shared_params, signals):
     """'fullprobs' (corrected, non-parity) chunk mode: window probs come
     from the full-read pass — runs end-to-end and emits base strings."""
@@ -316,6 +322,7 @@ def test_chunk_fullprobs_mode(shared_params, signals):
     assert all(s and set(s) <= set("ACGT") for s in out)
 
 
+@pytest.mark.slow
 def test_lm_table_dtype_auto(rng):
     """'auto' stores LM tables bf16 only when the forward is bf16;
     explicit overrides win (the decoder promotes rows to f32 either
@@ -394,6 +401,7 @@ def test_chunk_overflow_uses_effective_cap(shared_params):
         bc._collect_batch(pending, {})
 
 
+@pytest.mark.slow
 def test_chunk_tiled_crop_matches_global(shared_params, signals):
     """Tiled center-crop ('fullprobs' + chunk_crop): kept spans partition
     the read and all windows decode the same full-read probs, so the

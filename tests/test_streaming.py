@@ -1,6 +1,7 @@
 """Streaming basecall: in-order flush, batch dispatch, bounded state."""
 
 import numpy as np
+import pytest
 
 from radian_tpu.io.fast5 import Fast5Read
 from radian_tpu.io.fasta import read_fasta
@@ -31,6 +32,7 @@ def test_streaming_matches_batch_mode(shared_params, signals, tmp_path):  # noqa
     assert order == [r.read_id for r in reads]
 
 
+@pytest.mark.slow
 def test_bucket_ladder_caps_programs():
     """A fixed bucket ladder routes lengths to ladder entries (overflow
     falls back to quantum rounding) and warmup() compiles each bucket."""
@@ -62,6 +64,7 @@ def test_bucket_ladder_caps_programs():
     assert seqs[0] is not None
 
 
+@pytest.mark.slow
 def test_streaming_chunk_fused(shared_params, signals, tmp_path):  # noqa: F811
     """Streaming mode over the fused chunk path matches batch mode."""
     reads = [

@@ -28,6 +28,7 @@ def _signals(rng, lens):
     ]
 
 
+@pytest.mark.slow
 def test_strip_matrices_match_window_assembly(params, rng):
     """Assembled matrices from both prep paths agree to float tolerance."""
     lens = [5000, 1024, 700, 2049, 4096]
@@ -78,6 +79,7 @@ def test_strip_matrices_match_window_assembly(params, rng):
     )
 
 
+@pytest.mark.slow
 def test_strip_path_decodes_identically(params, rng):
     """End-to-end: basecall_signals output is identical across prep modes."""
     lens = [3000, 900, 5121]

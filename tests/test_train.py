@@ -95,6 +95,7 @@ def test_checkpoint_save_restore(synth_batches, tmp_path):
     jax.tree.map(np.testing.assert_array_equal, o1, o2)
 
 
+@pytest.mark.slow
 def test_best_on_val_checkpoint(synth_batches, tmp_path):
     """The best-on-val-loss checkpoint survives later, worse epochs and
     restores the exact parameters of the best epoch (reference
@@ -208,6 +209,7 @@ def test_cross_shard_shuffle_mixes_early_batches(rng, tmp_path):
         assert set(b["signal"][:, 0].astype(int).tolist()) == {i}
 
 
+@pytest.mark.slow
 def test_multi_device_data_parallel_training(synth_batches):
     """Train step over an 8-device mesh: batch sharded, grads all-reduced."""
     from radian_tpu.parallel.mesh import make_mesh
@@ -221,6 +223,7 @@ def test_multi_device_data_parallel_training(synth_batches):
     assert np.isfinite(l1) and l1 < l0
 
 
+@pytest.mark.slow
 def test_tensor_parallel_mesh(synth_batches):
     """data×model = 4×2 mesh with sharded conv/dense kernels still trains."""
     from radian_tpu.parallel.mesh import make_mesh
@@ -234,6 +237,7 @@ def test_tensor_parallel_mesh(synth_batches):
     assert np.isfinite(state1) and state1 < state0
 
 
+@pytest.mark.slow
 def test_training_bf16_compute(synth_batches):
     """Mixed-precision training: bf16 conv/dense math, f32 params/loss.
 
@@ -253,6 +257,7 @@ def test_training_bf16_compute(synth_batches):
         assert leaf.dtype == np.float32
 
 
+@pytest.mark.slow
 def test_fit_epoch_scan_matches_per_step(synth_batches, tmp_path):
     """fit(epoch_scan=True) runs the SAME step program as the per-step
     path — per-epoch losses must match to float tolerance (VERDICT r4
@@ -291,6 +296,7 @@ def test_fit_epoch_scan_matches_per_step(synth_batches, tmp_path):
                                b["val_edit_distance"], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fit_epoch_scan_short_final_batch(synth_batches, tmp_path):
     """preload_batches pads a short final batch with zero-weight filler
     rows; the padded pool trains to the same losses as the per-step
@@ -308,6 +314,7 @@ def test_fit_epoch_scan_short_final_batch(synth_batches, tmp_path):
                                hists[True]["train_loss"], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fit_epoch_scan_cycles_pool(synth_batches):
     """With steps_per_epoch set, scan epochs cycle through the pool via
     the start offset (epoch e starts at (e*steps) % pool)."""
