@@ -207,6 +207,25 @@ class Trainer:
         after the one restored (0 if no best checkpoint exists)."""
         return self._restore_from(self._best_mgr, None)
 
+    def update_learning_rate(self, new_rate: float) -> None:
+        """Mid-training LR override that PRESERVES optimizer state
+        (moments), the counterpart of the reference's
+        ``update_learning_rate`` (reference radian/model.py:155-158,
+        which set_value's the live Keras optimizer's lr).  Rebuilds the
+        optax transform with the new rate and swaps it into the train
+        state; the first step after the swap recompiles (the transform
+        is part of the state's treedef).  For SCHEDULED decay prefer an
+        optax schedule in the config (train.opt.cc_opt) — this hook is
+        for the reference's manual-restart workflow."""
+        c = self.config.train.opt
+        kind = c.get("type", "adam")
+        if kind == "cc_opt":
+            c.cc_opt.init_rate = float(new_rate)
+        else:
+            c[kind].lr = float(new_rate)
+        self.tx = build_optimizer(c)
+        self.state = self.state.replace(tx=self.tx)
+
     # -- logging ----------------------------------------------------------
 
     def _log(self, tag: str, value: float, step: int) -> None:

@@ -328,3 +328,25 @@ def test_fit_epoch_scan_cycles_pool(synth_batches):
     assert len(h["train_loss"]) == 3
     assert int(tr.state.step) == 12  # 3 epochs x 4 steps
     assert all(np.isfinite(h["train_loss"]))
+
+
+def test_update_learning_rate_preserves_opt_state(synth_batches):
+    """Mid-training LR override (reference model.py:155-158): the new
+    rate takes effect and the optimizer moments survive the swap."""
+    cfg = _tiny_config()
+    tr = Trainer(cfg, TrainConfig(checkpoint_dir=None, seed=0))
+    tr.train_epoch(synth_batches[:2], epoch=0)
+    mom_before = jax.tree.map(np.asarray, tr.state.opt_state)
+
+    tr.update_learning_rate(1e-6)
+    mom_after = jax.tree.map(np.asarray, tr.state.opt_state)
+    jax.tree.map(np.testing.assert_array_equal, mom_before, mom_after)
+
+    p0 = jax.tree.map(np.asarray, tr.state.params)
+    tr.train_epoch(synth_batches[:1], epoch=1)
+    p1 = jax.tree.map(np.asarray, tr.state.params)
+    # lr 1e-6 (vs 3e-3): the post-swap step must barely move params
+    deltas = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(np.abs(a - b).max()), p0, p1)
+    )
+    assert max(deltas) < 1e-4, f"lr override ignored: max delta {max(deltas)}"
