@@ -1,7 +1,8 @@
 """Benchmark: end-to-end basecalling throughput on the TPU chip.
 
-Workload: the bundled 5-read fast5 replicated to 1280 reads (five
-pipelined 256-read batches), global decode with 12-mer LM fusion
+Workload: the bundled 5-read fast5 replicated to 2560 reads (five
+pipelined 512-read batches; chunk mode: 1280 reads at 256), global
+decode with 12-mer LM fusion
 (synthetic LM, deterministic seed — the reference's published LM blob is
 stripped from the snapshot), seed-0 weights shared with the measured
 reference baseline.  The forward runs in bfloat16 (the production

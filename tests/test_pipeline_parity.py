@@ -445,3 +445,36 @@ def test_chunk_crop_off_keeps_consensus_path(shared_params, signals):
     assert not bc.chunk_tiled
     out = bc.basecall_signals([signals[0][:2000]])
     assert out[0] and set(out[0]) <= set("ACGT")
+
+
+def test_tiled_crop_spans_partition_exactly():
+    """Pure-python mirror of the _chunk_fused tiled-crop geometry
+    (same formulas): for every (read_len, stride) the kept spans must
+    partition [0, len) exactly — no gap, no overlap — including the
+    tail-window clip and single-window reads."""
+    window, step, rf = 1024, 128, 253
+    for stride in (1, 2, 4):
+        off = window - (stride + 1) * step
+        assert off >= rf - 1
+        for ln in (200, 900, 1023, 1024, 1025, 1151, 1152, 1153,
+                   2047, 2048, 2049, 4001, 5120, 13327):
+            n_full = max((ln - window) // step + 1, 0)
+            tail_start = n_full * step
+            n_dec = (n_full + stride - 1) // stride + 1
+            spans = []
+            for d in range(n_dec):
+                start = min(d * stride * step, tail_start)
+                lens = (ln - tail_start) if d == n_dec - 1 else window
+                lo = 0 if d == 0 else off
+                if d == n_dec - 1:
+                    hi = lens
+                else:
+                    hi = min(off + stride * step,
+                             tail_start + off - start)
+                spans.append((start + lo, start + hi))
+            covered = []
+            for a, b in spans:
+                covered.extend(range(a, b))
+            assert covered == list(range(ln)), (
+                f"stride {stride} len {ln}: spans {spans}"
+            )
