@@ -478,3 +478,28 @@ def test_tiled_crop_spans_partition_exactly():
             assert covered == list(range(ln)), (
                 f"stride {stride} len {ln}: spans {spans}"
             )
+
+
+def test_chunk_tiled_crop_fast(shared_params, signals):
+    """Fast-gate coverage of the tiled crop: a sub-window read's tiled
+    decode IS the global decode (exact), and a small multi-window read
+    tracks it closely."""
+    import difflib
+
+    sigs = [signals[0][:900], signals[1][:2500]]
+    bc_g = Basecaller(
+        shared_params, options=BasecallOptions(read_batch=2,
+                                               bucket_quantum=1024)
+    )
+    bc_t = Basecaller(
+        shared_params,
+        options=BasecallOptions(
+            decode_type="chunk", chunk_prep="fullprobs", chunk_crop=True,
+            read_batch=2, bucket_quantum=1024,
+        ),
+    )
+    glob = bc_g.basecall_signals(sigs)
+    tiled = bc_t.basecall_signals(sigs)
+    assert tiled[0] == glob[0]
+    sim = difflib.SequenceMatcher(None, glob[1], tiled[1]).ratio()
+    assert sim > 0.85, f"similarity {sim:.3f}"
