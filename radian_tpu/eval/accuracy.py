@@ -121,13 +121,17 @@ def sam_accuracy(sam_path, out_tsv_path=None,
 
 
 def main(argv=None):
-    """CLI: ``python -m radian_tpu.eval.accuracy ALN_SAM`` — prints the
-    reference-format summary (reference accuracy.py:81-91)."""
-    import sys
+    """CLI: ``python -m radian_tpu.eval.accuracy ALN_SAM [OUT_TSV]`` —
+    prints the reference-format summary (reference accuracy.py:81-91)."""
+    import argparse
 
-    args = argv if argv is not None else sys.argv[1:]
-    sam = args[0]
-    out = sam.replace(".sam", "-pc.tsv")
+    ap = argparse.ArgumentParser(
+        description="SAM alignment accuracy (reference accuracy.py)")
+    ap.add_argument("sam")
+    ap.add_argument("out_tsv", nargs="?", default=None)
+    a = ap.parse_args(argv)
+    sam = a.sam
+    out = a.out_tsv or sam.replace(".sam", "-pc.tsv")
     s = sam_accuracy(sam, out)
     print(f"N unmapped reads: {s.get('unmapped', 0)}")
     print(f"N reverse strand reads: {s.get('reverse', 0)}")

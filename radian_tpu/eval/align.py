@@ -232,12 +232,20 @@ def evaluate_fasta(fasta_path, ref_tsv_path, out_tsv_path=None, *,
 
 
 def main(argv=None):
-    """CLI: ``python -m radian_tpu.eval.align FASTA REF_TSV`` — prints the
-    reference-format summary (reference align.py:104-109)."""
-    import sys
+    """CLI: ``python -m radian_tpu.eval.align FASTA REF_TSV [--baseline]``
+    — prints the reference-format summary (reference align.py:104-109)."""
+    import argparse
 
-    args = argv if argv is not None else sys.argv[1:]
-    fasta, ref = args[0], args[1]
+    ap = argparse.ArgumentParser(
+        description="read-identity eval (reference align.py)")
+    ap.add_argument("fasta")
+    ap.add_argument("ref_tsv")
+    ap.add_argument("--baseline", action="store_true",
+                    help="add the random-call identity baseline column "
+                         "(second Gotoh alignment per read)")
+    a = ap.parse_args(argv)
+    args = [a.fasta, a.ref_tsv] + (["--baseline"] if a.baseline else [])
+    fasta, ref = a.fasta, a.ref_tsv
     out = fasta.replace(".fasta", ".tsv")
     summary = evaluate_fasta(fasta, ref, out,
                              with_baseline="--baseline" in args)
