@@ -162,8 +162,10 @@ class BasecallOptions:
     # samples — tune down (e.g. 128) for less device→host traffic.
     chunk_max_lab: int = 512
     # tiled center-cropped decoding for the corrected 'fullprobs' mode:
-    # each window keeps only its center emission span [off, off+step)
-    # (off ~ (window-step)/2 >= RF-1), so kept spans PARTITION the read
+    # each decoded window keeps only its center emission span
+    # [off, off + stride*step) with off = window - (stride+1)*step
+    # (maximal decode warm-up, >= RF-1; one step of right margin), so
+    # kept spans PARTITION the read
     # and the stitch is plain concatenation — no consensus-displacement
     # estimation (which is ambiguous on repetitive sequence) and no CTC
     # decode boundary artifacts (every kept emission has >= RF-1 decode
