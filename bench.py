@@ -1,7 +1,7 @@
 """Benchmark: end-to-end basecalling throughput on the TPU chip.
 
-Workload: the bundled 5-read fast5 replicated to 2560 reads (five
-pipelined 512-read batches; chunk mode: 1280 reads at 256), global
+Workload: the bundled 5-read fast5 replicated to 5120 reads (five
+pipelined 1024-read batches; chunk mode: 1280 reads at 256), global
 decode with 12-mer LM fusion
 (synthetic LM, deterministic seed — the reference's published LM blob is
 stripped from the snapshot), seed-0 weights shared with the measured
@@ -32,11 +32,13 @@ DECODE = os.environ.get("BENCH_DECODE", "global")
 # experiment knobs (defaults = the recorded configuration); the fused
 # chunk path streams window slabs (no [N, windows, 1024, 5] tensor), so
 # chunk mode runs the full read batch too (round 3 was capped at 64).
-# read_batch 512 became the global-mode sweet spot once async
-# device->host copies landed (round 5: 512 -> 1116 reads/s vs 256 ->
-# 903, 768 -> 974; the round-4 "N=512 regresses" probe predated the
-# async-copy fix — scripts/exp_overlap.py)
-_DEFAULT_N = 512 if DECODE == "global" else 256  # chunk recorded at 256
+# global read_batch sweep (round 5, after the async device->host copy
+# fix; the round-4 "N=512 regresses" probe predated it): 256 -> 903,
+# 384 -> 1037, 512 -> 1116, 768 -> 974 (non-power-of-2 anomaly),
+# 1024 -> 1169 reads/s, 1536 -> remote-compiler failure, 2048 -> OOM.
+# 1024 is the operating point; chunk mode peaks at 256 (384 -> 825,
+# 512 -> 643 — the window-expanded batch is already huge).
+_DEFAULT_N = 1024 if DECODE == "global" else 256
 REPLICAS = int(os.environ.get("BENCH_REPLICAS", _DEFAULT_N))
 READ_BATCH = int(os.environ.get("BENCH_READ_BATCH", _DEFAULT_N))
 QUANTUM = int(os.environ.get("BENCH_QUANTUM", 1024))
