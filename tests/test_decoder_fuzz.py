@@ -25,7 +25,10 @@ def test_fuzz_all_decoders(rng):
     )
     lm3_dict = _DenseDictView(lm3)
 
-    n_cases = 14
+    # override for extended fuzz sessions: RADIAN_FUZZ_CASES=300
+    import os
+
+    n_cases = int(os.environ.get("RADIAN_FUZZ_CASES", 14))
     for case in range(n_cases):
         t = int(rng.integers(2, 70))
         alpha = float(rng.choice([0.15, 0.5, 1.0]))
