@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "global-mode identity, 96.8 vs 85.9 for the "
                         "overlapped-consensus stitch on the trained "
                         "eval)")
+    p.add_argument("--chunk-lm", action="store_true",
+                   help="fuse the gated k-mer LM inside the tiled chunk "
+                        "decode (needs --rna-model and the tiled crop): "
+                        "the low-latency serving counterpart of "
+                        "global+LM - same fused accuracy, 2.6-2.9x "
+                        "lower single-read latency")
     p.add_argument("--chunk-max-lab", default=512, type=int,
                    help="per-window emission cap for the fused path's "
                         "label compaction (overflow raises; tune down "
@@ -128,6 +134,7 @@ def main(argv=None) -> None:
         prep_mode=args.prep_mode,
         chunk_prep=args.chunk_prep,
         chunk_crop=not args.no_chunk_crop,
+        chunk_lm=args.chunk_lm,
         chunk_max_lab=args.chunk_max_lab,
         consensus=args.consensus,
         bucket_lengths=(

@@ -183,6 +183,14 @@ class BasecallOptions:
     # random-weight probs, where stride 4's 384 shows seam divergence),
     # so 2 is the default.
     chunk_crop_stride: int = 2
+    # fuse the gated k-mer LM inside the tiled chunk decode (requires
+    # lm= and the tiled crop): the low-latency serving counterpart of
+    # global+LM — windows decode in parallel (1024-step scans, 29-40 ms
+    # warm single-read latency) while fusion contexts at kept positions
+    # are the true read contexts (>= 16 bases of decode warm-up >
+    # ctx_len 11).  Gather traffic grows with window count, so bulk
+    # throughput users should keep this off and use global mode.
+    chunk_lm: bool = False
     # packed-LM layout cut in bytes (None = module PACKED_LM_MAX_BYTES,
     # measured batch-size-robust; see scripts/exp_packed_crossover.py)
     packed_lm_max_bytes: int | None = None
@@ -389,10 +397,11 @@ def _assemble_and_decode(
     return pack_labels(rev), n_lab, t_reads
 
 
-def _chunk_fused(params, signals, lengths, *, model: SigToSeq,
-                 opts: BasecallOptions, max_windows: int, head: int,
-                 slab: int, max_lab: int, use_pallas: bool,
-                 crop_off: int = 0, crop_stride: int = 1):
+def _chunk_fused(params, signals, lengths, lm_t1, lm_t2, *,
+                 model: SigToSeq, opts: BasecallOptions, max_windows: int,
+                 head: int, slab: int, max_lab: int, use_pallas: bool,
+                 crop_off: int = 0, crop_stride: int = 1,
+                 lm_enabled: bool = False, lm_packed: bool = False):
     """Fused streaming chunk-mode program (reference basecall.py:111-123
     semantics, TPU-first execution).
 
@@ -506,6 +515,21 @@ def _chunk_fused(params, signals, lengths, *, model: SigToSeq,
 
             rev, n_lab, _ = beam_search_pallas(
                 probs, lens.reshape(-1), beam_width=o.beam_width
+            )
+        elif lm_enabled:
+            # LM-fused tiled decode (chunk_lm): entropy-gated 12-mer
+            # fusion inside each window's beam search — the kept center
+            # spans have >= 640 samples (~16 bases > ctx_len 11) of
+            # decode warm-up, so fusion contexts at kept positions are
+            # the true read contexts.  Gather-heavy (W*N lanes/step):
+            # intended for the low-latency serving path, not bulk
+            # throughput.
+            rev, n_lab, _ = beam_search_batch(
+                probs, lens.reshape(-1), beam_width=o.beam_width,
+                s_threshold=o.sig_threshold,
+                r_threshold=o.rna_threshold,
+                ctx_len=o.context_len, lm_enabled=True,
+                **_lm_kwargs(lm_t1, lm_t2, lm_packed),
             )
         else:
             rev, n_lab, _ = beam_search_batch(
@@ -766,15 +790,24 @@ class Basecaller:
                     crop_off, crop_stride = off_k, k
                     break
         self.chunk_tiled = crop_off is not None
+        self.chunk_lm = bool(o.chunk_lm)
+        if self.chunk_lm and not (self.chunk_tiled and lm is not None):
+            raise ValueError(
+                "chunk_lm needs lm= and the tiled crop "
+                "(chunk_prep='fullprobs', chunk_crop=True)"
+            )
         self._chunk_fused_prog = self._device_fn(
             functools.partial(
                 _chunk_fused, model=self.model, opts=o, head=chunk_head,
                 slab=o.chunk_slab, max_lab=o.chunk_max_lab,
-                use_pallas=use_pallas,
+                # the Pallas kernel is no-LM; LM-fused tiled decode uses
+                # the XLA scan
+                use_pallas=use_pallas and not self.chunk_lm,
                 crop_off=crop_off if self.chunk_tiled else 0,
                 crop_stride=crop_stride if self.chunk_tiled else 1,
+                lm_enabled=self.chunk_lm, lm_packed=self._lm_packed,
             ),
-            in_specs=(P(), P("data"), P("data")),
+            in_specs=(P(), P("data"), P("data"), P(), P()),
             static_argnames=("max_windows",),
         )
 
@@ -921,7 +954,7 @@ class Basecaller:
         if o.decode_type == "chunk" and self.use_chunk_fused:
             rev, n_lab, n_wins, mads = self._chunk_fused_prog(
                 self.params, jnp.asarray(padded), jnp.asarray(lengths),
-                max_windows=max_w,
+                self._lm_t1, self._lm_t2, max_windows=max_w,
             )
             return self._start_host_copies(
                 ("chunk", idxs, real, mads, rev, n_wins, n_lab))

@@ -266,6 +266,10 @@ def main():
              {"chunk_prep": "fullprobs", "chunk_crop": False}),
             ("bf16 chunk fullprobs+crop", "bfloat16", False, "reference",
              None, {"chunk_prep": "fullprobs", "chunk_crop": True}),
+            # LM-fused tiled chunk: the serving mode with gated fusion
+            ("bf16 chunk tiled+LM", "bfloat16", True, "reference",
+             None, {"chunk_prep": "fullprobs", "chunk_crop": True,
+                    "chunk_lm": True}),
         ]
     results = {}
     seqs_by_tag = {}

@@ -503,3 +503,53 @@ def test_chunk_tiled_crop_fast(shared_params, signals):
     assert tiled[0] == glob[0]
     sim = difflib.SequenceMatcher(None, glob[1], tiled[1]).ratio()
     assert sim > 0.85, f"similarity {sim:.3f}"
+
+
+def test_chunk_tiled_lm_matches_global_lm(shared_params, signals, rng):
+    """LM-fused tiled chunk (chunk_lm): a sub-window read decodes
+    IDENTICALLY to global+LM (same probs, same gated fusion); a
+    multi-window read tracks it closely.  chunk_lm without lm= or
+    without the tiled crop raises."""
+    import difflib
+
+    from radian_tpu.lm import build_dense_tables, random_kmer_model
+
+    lm = build_dense_tables(
+        random_kmer_model(rng, context_len=4, concentration=0.3), 4
+    )
+    sigs = [signals[0][:900], signals[1][:2500]]
+    bc_g = Basecaller(
+        shared_params, lm=lm,
+        options=BasecallOptions(read_batch=2, bucket_quantum=1024,
+                                context_len=4),
+    )
+    bc_t = Basecaller(
+        shared_params, lm=lm,
+        options=BasecallOptions(
+            decode_type="chunk", chunk_prep="fullprobs", chunk_crop=True,
+            chunk_lm=True, context_len=4, read_batch=2,
+            bucket_quantum=1024,
+        ),
+    )
+    glob = bc_g.basecall_signals(sigs)
+    tiled = bc_t.basecall_signals(sigs)
+    assert tiled[0] == glob[0]  # single window == global+LM decode
+    sim = difflib.SequenceMatcher(None, glob[1], tiled[1]).ratio()
+    assert sim > 0.85, f"similarity {sim:.3f}"
+
+    with pytest.raises(ValueError, match="chunk_lm"):
+        Basecaller(
+            shared_params,  # no lm
+            options=BasecallOptions(
+                decode_type="chunk", chunk_prep="fullprobs",
+                chunk_lm=True,
+            ),
+        )
+    with pytest.raises(ValueError, match="chunk_lm"):
+        Basecaller(
+            shared_params, lm=lm,
+            options=BasecallOptions(
+                decode_type="chunk", chunk_prep="fullprobs",
+                chunk_crop=False, chunk_lm=True, context_len=4,
+            ),
+        )
