@@ -505,6 +505,7 @@ def test_chunk_tiled_crop_fast(shared_params, signals):
     assert sim > 0.85, f"similarity {sim:.3f}"
 
 
+@pytest.mark.slow
 def test_chunk_tiled_lm_matches_global_lm(shared_params, signals, rng):
     """LM-fused tiled chunk (chunk_lm): a sub-window read decodes
     IDENTICALLY to global+LM (same probs, same gated fusion); a
