@@ -452,10 +452,13 @@ def test_tiled_crop_spans_partition_exactly():
     (same formulas): for every (read_len, stride) the kept spans must
     partition [0, len) exactly — no gap, no overlap — including the
     tail-window clip and single-window reads."""
-    window, step, rf = 1024, 128, 253
-    for stride in (1, 2, 4):
+    rf = 253
+    for window, step in ((1024, 128), (512, 64), (2048, 256),
+                         (1024, 256)):
+      for stride in (1, 2, 4):
         off = window - (stride + 1) * step
-        assert off >= rf - 1
+        if off < rf - 1:
+            continue  # constructor would clamp the stride down
         for ln in (200, 900, 1023, 1024, 1025, 1151, 1152, 1153,
                    2047, 2048, 2049, 4001, 5120, 13327):
             n_full = max((ln - window) // step + 1, 0)
