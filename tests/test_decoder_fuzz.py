@@ -29,11 +29,17 @@ def test_fuzz_all_decoders(rng):
     import os
 
     n_cases = int(os.environ.get("RADIAN_FUZZ_CASES", 14))
+    # every case compiles a distinct (t, width, lm) program; hundreds of
+    # live CPU executables in one process eventually segfault the XLA
+    # compiler (observed at a 500-case run), so bound the cache
+    import jax
     for case in range(n_cases):
         t = int(rng.integers(2, 70))
         alpha = float(rng.choice([0.15, 0.5, 1.0]))
         width = int(rng.choice([2, 4, 6]))
         use_lm = bool(case % 2)
+        if case and case % 50 == 0:
+            jax.clear_caches()
         mats = rng.dirichlet(np.full(5, alpha), size=(1, t)).astype(np.float32)
         lengths = np.asarray([t], np.int32)
         s_thr, r_thr = 0.4, 1.1
