@@ -29,6 +29,10 @@ def test_fuzz_all_decoders(rng):
     import os
 
     n_cases = int(os.environ.get("RADIAN_FUZZ_CASES", 14))
+    if os.environ.get("RADIAN_FUZZ_SEED"):
+        import numpy as _np
+
+        rng = _np.random.default_rng(int(os.environ["RADIAN_FUZZ_SEED"]))
     # every case compiles a distinct (t, width, lm) program; hundreds of
     # live CPU executables in one process eventually segfault the XLA
     # compiler (observed at a 500-case run), so bound the cache

@@ -29,6 +29,10 @@ from tests.test_pipeline_parity import _reference_pipeline
 
 def test_fuzz_pipeline_configs(rng, reads_fast5_path):
     n_cases = int(os.environ.get("RADIAN_FUZZ_CASES", 6))
+    if os.environ.get("RADIAN_FUZZ_SEED"):
+        import numpy as _np
+
+        rng = _np.random.default_rng(int(os.environ["RADIAN_FUZZ_SEED"]))
     reads = sorted(
         iter_fast5_reads(reads_fast5_path), key=lambda r: len(r.signal)
     )
